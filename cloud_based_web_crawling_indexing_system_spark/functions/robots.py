@@ -1,0 +1,56 @@
+"""robots.txt semantics, reference-faithful.
+
+The reference parses robots.txt once per origin with stdlib
+``urllib.robotparser.RobotFileParser`` and caches the parser
+(/root/reference/Cloud/scripts/crawler_worker.py:134-145).  A failed
+read leaves an empty parser (Cloud) or ``None`` (Local) — both allow
+everything ("allow on error", /root/reference/Local/crawler.py:33-40).
+The crawl gate is ``rp.can_fetch("*", url)`` and the politeness delay
+is ``rp.crawl_delay("*") or DEFAULT_DELAY`` — note the ``or``: an
+explicit ``Crawl-delay: 0`` falls back to the 1.0 s default
+(/root/reference/Cloud/scripts/crawler_worker.py:41,146-149).
+
+Here there is no network: the robots corpus is a table
+``(host, robots_txt)`` where a NULL/absent body models a failed fetch.
+Parsers are built once per distinct host (the robots dim is tiny
+relative to the frontier) and consulted through a per-batch cache in
+the Arrow UDF (functions/udfs.py).
+"""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+__all__ = ["RobotsRules", "parse_robots", "DEFAULT_DELAY", "AGENT"]
+
+DEFAULT_DELAY = 1.0  # seconds, reference DELAY env default
+AGENT = "*"  # Cloud path checks can_fetch("*", url)
+
+
+class RobotsRules:
+    """Parsed rules for one host."""
+
+    __slots__ = ("_rp", "delay")
+
+    def __init__(self, robots_txt: str | None):
+        if robots_txt is None:
+            # failed fetch -> allow-all, default delay
+            self._rp = None
+            self.delay = DEFAULT_DELAY
+        else:
+            rp = RobotFileParser()
+            rp.parse(robots_txt.splitlines())
+            self._rp = rp
+            self.delay = rp.crawl_delay(AGENT) or DEFAULT_DELAY
+
+    def can_fetch(self, url: str) -> bool:
+        if self._rp is None:
+            return True
+        try:
+            return self._rp.can_fetch(AGENT, url)
+        except Exception:
+            return True
+
+
+def parse_robots(robots_txt: str | None) -> RobotsRules:
+    return RobotsRules(robots_txt)

@@ -1,0 +1,91 @@
+"""URL canonicalization.
+
+Two modes:
+
+- ``reference``: exactly what the reference does — resolve each href
+  against the page url with ``urljoin`` after stripping everything
+  from the first ``#`` (/root/reference/Cloud/scripts/crawler_worker.py:196),
+  then filter on ``urlparse(link).scheme in ('http','https')``
+  (:197-199).  Used by default so crawl ordering and the URL-seen set
+  match the reference.
+
+- ``full``: RFC 3986 superset for the 10^10-scale seen-set — lowercase
+  scheme/host, drop default ports, percent-decode unreserved chars,
+  uppercase remaining %XX, sort query params (stable by key then
+  value), fold leading ``www.``, fold https->http scheme, remove
+  fragment, collapse empty path to ``/``.  Used when
+  ``CrawlConfig.canonicalization == 'full'``.
+
+Pure functions shared by the Arrow UDFs and the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse, unquote, quote
+
+__all__ = ["canonicalize_reference", "canonicalize_full", "url_md5", "host_hash31", "split_url"]
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_reference(link: str) -> str:
+    """Identity modulo the defrag already applied at extraction time.
+
+    Kept as a function so the 'reference' mode slots into the same
+    pipeline stage as 'full'.
+    """
+    return link
+
+
+def canonicalize_full(link: str) -> str:
+    try:
+        p = urlparse(link)
+    except ValueError:
+        return link
+    scheme = p.scheme.lower()
+    if scheme == "https":
+        scheme = "http"  # scheme fold per north-star
+    netloc = p.netloc.lower()
+    if "@" in netloc:
+        _, netloc = netloc.rsplit("@", 1)  # strip userinfo
+    if ":" in netloc:
+        host, _, port = netloc.rpartition(":")
+        if port == _DEFAULT_PORTS.get(p.scheme.lower(), ""):
+            netloc = host
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    # percent-normalize path: decode unreserved, re-quote the rest
+    path = quote(unquote(p.path), safe="/:@!$&'()*+,;=~-._")
+    if path == "":
+        path = "/"
+    path = re.sub(r"/{2,}", "/", path)
+    query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
+    return urlunparse((scheme, netloc, path, p.params, query, ""))
+
+
+def url_md5(url: str) -> str:
+    """MD5 hex of the url — the reference's seen-set key
+    (/root/reference/Cloud/scripts/indexer_worker.py:106)."""
+    return hashlib.md5(url.encode("utf-8")).hexdigest()
+
+
+def host_hash31(host: str) -> int:
+    """Deterministic 31-bit host hash for canonical frontier ordering
+    and partitioning — first 8 hex digits of md5(host), masked to 31
+    bits so it is computable identically in Spark SQL
+    (``conv(substring(md5(host),1,8),16,10) & 0x7FFFFFFF``), Python,
+    and DuckDB."""
+    return int(hashlib.md5(host.encode("utf-8")).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+
+def split_url(url: str) -> tuple[str, str, str]:
+    """(scheme, netloc, path) via the same stdlib urlparse the
+    reference uses — Java's parse_url diverges on edge cases, so URL
+    splitting stays in Python UDF batches."""
+    try:
+        p = urlparse(url)
+        return p.scheme, p.netloc, p.path
+    except ValueError:
+        return "", "", ""

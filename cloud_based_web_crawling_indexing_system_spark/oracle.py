@@ -1,0 +1,280 @@
+"""Single-threaded reference-faithful crawl/index/search oracle.
+
+This module is the executable specification of the reference
+semantics (SURVEY.md §2) that the distributed engine must reproduce
+exactly.  It re-implements, in plain sequential Python:
+
+- seed submission: depth clamp [1,5] (master.py:104-107), order-
+  preserving dedup (master.py:117), domain classification
+  (master.py:127-128);
+- per-round BFS with the canonical deterministic ordering that
+  replaces the reference's thread-race ordering (SURVEY.md §2.7 O4):
+  within a round rows are processed by (host_hash31(host), priority,
+  url); links are processed in document order — so "first discoverer
+  wins" is well-defined and reproducible at any parallelism;
+- robots gate with allow-on-error (crawler_worker.py:134-148,
+  Local/crawler.py:33-40);
+- politeness token bucket: host h admits
+  max(1, floor(round_budget_s / delay(h))) fetches per round, excess
+  deferred to the next round (the set-oriented equivalent of the
+  reference's per-fetch sleep, crawler_worker.py:149);
+- fetch = lookup in the pages corpus; miss -> tries+1, requeue up to
+  3 total attempts then drop (crawler_worker.py:152-160);
+- discovery-time URL-seen dedup (Local/master.py:190-194 — the
+  scalable semantic; see SURVEY.md §2.3 for why index-time Cloud
+  dedup converges to the same seen set);
+- text extraction P3∘P2 (byte-identical contract), link filters
+  F2/F3/F4, depth gate F5;
+- unigram+bigram Porter postings (indexer_worker.py:139-150);
+- the §2.8 search grammar (master.py:167-211).
+
+Everything per-row is shared code with the engine's Arrow UDFs
+(functions/htmltext.py, terms.py, urlnorm.py, robots.py) — what this
+oracle pins down is the *dataflow semantics*, which the engine
+realizes with joins/windows instead of loops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+import pandas as pd
+
+from .functions.htmltext import extract_links, extract_text_crawl, extract_text_index
+from .functions.robots import RobotsRules
+from .functions.stemmer import porter_stem
+from .functions.terms import term_freqs, tokenize
+from .functions.urlnorm import canonicalize_full, host_hash31, url_md5
+
+__all__ = ["CrawlConfig", "OracleResult", "crawl_oracle", "parse_query", "search_oracle"]
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Knobs shared verbatim by oracle and engine."""
+
+    default_delay: float = 1.0  # reference DELAY default
+    round_budget_s: float = 30.0  # politeness budget per round per host
+    max_tries: int = 3  # reference MAX_RETRIES
+    max_rounds: int = 64
+    depth_clamp: tuple[int, int] = (1, 5)  # master.py:107
+    canonicalization: str = "reference"  # or "full"
+    politeness: bool = True
+
+
+@dataclass
+class OracleResult:
+    frontier_log: list[dict] = field(default_factory=list)  # per-round rows, canonical order
+    seen: dict[str, tuple[str, int]] = field(default_factory=dict)  # url_hash -> (url, round)
+    texts: dict[str, bytes] = field(default_factory=dict)  # url -> index_text utf-8 bytes
+    crawl_texts: dict[str, str] = field(default_factory=dict)
+    postings: list[dict] = field(default_factory=list)  # term/job_id/url/url_hash/frequency
+    metrics: list[dict] = field(default_factory=list)
+    rounds: int = 0
+
+
+def _canon(cfg: CrawlConfig, link: str) -> str:
+    return canonicalize_full(link) if cfg.canonicalization == "full" else link
+
+
+def crawl_oracle(
+    pages: pd.DataFrame,
+    robots: pd.DataFrame,
+    seeds: pd.DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> OracleResult:
+    page_html = {r.url: bytes(r.html) for r in pages.itertuples()}
+    rules_by_host = {r.host: RobotsRules(r.robots_txt) for r in robots.itertuples()}
+    allow_all = RobotsRules(None)
+
+    res = OracleResult()
+    frontier: list[dict] = []  # rows of the *current* round
+
+    # --- seed submission -------------------------------------------------
+    jobs: dict[str, dict] = {}
+    for r in seeds.sort_values("seed_idx").itertuples():
+        depth_limit = max(cfg.depth_clamp[0], min(int(r.depth_limit), cfg.depth_clamp[1]))
+        p = urlparse(r.seed_url)
+        jobs[r.job_id] = {
+            "depth_limit": depth_limit,
+            "seed_netloc": p.netloc,
+            "domain": p.path in ("", "/"),
+        }
+        url = _canon(cfg, r.seed_url)
+        h = url_md5(url)
+        if h in res.seen:
+            continue  # order-preserving seed dedup (D3) + global seen
+        res.seen[h] = (url, 0)
+        frontier.append(
+            {"job_id": r.job_id, "url": url, "url_hash": h,
+             "host": urlparse(url).netloc, "depth": 0, "tries": 0, "seed_idx": r.seed_idx}
+        )
+
+    rnd = 0
+    while frontier and rnd < cfg.max_rounds:
+        # canonical order (SURVEY §2.7 O4)
+        frontier.sort(key=lambda row: (host_hash31(row["host"]), row["depth"], row["url"]))
+        for row in frontier:
+            res.frontier_log.append({"round": rnd, **{k: row[k] for k in
+                                     ("job_id", "url", "url_hash", "host", "depth", "tries")}})
+        next_frontier: list[dict] = []
+        m = dict(round=rnd, n_in=len(frontier), n_blocked=0, n_deferred=0, n_fetched=0,
+                 n_missed=0, n_failed=0, n_disc=0, n_new=0, n_indexed=0, n_postings=0)
+
+        # robots gate (F6) — blocked rows are consumed
+        passing: list[dict] = []
+        for row in frontier:
+            rules = rules_by_host.get(row["host"], allow_all)
+            if not rules.can_fetch(row["url"]):
+                m["n_blocked"] += 1
+                continue
+            passing.append(row)
+
+        # politeness token bucket (C1): per-host budget in canonical order
+        admitted: list[dict] = []
+        per_host_seen: dict[str, int] = {}
+        for row in passing:
+            if not cfg.politeness:
+                admitted.append(row)
+                continue
+            rules = rules_by_host.get(row["host"], allow_all)
+            budget = max(1, int(cfg.round_budget_s / rules.delay))
+            k = per_host_seen.get(row["host"], 0)
+            if k < budget:
+                admitted.append(row)
+            else:
+                m["n_deferred"] += 1
+                next_frontier.append(row)  # deferred unchanged
+            per_host_seen[row["host"]] = k + 1
+
+        # fetch + parse + index + discover, in canonical order
+        for row in admitted:
+            html = page_html.get(row["url"])
+            if html is None:
+                tries = row["tries"] + 1
+                if tries < cfg.max_tries:
+                    m["n_missed"] += 1
+                    next_frontier.append({**row, "tries": tries})
+                else:
+                    m["n_failed"] += 1
+                continue
+            m["n_fetched"] += 1
+            page = html.decode("utf-8", errors="replace")
+            crawl_text = extract_text_crawl(page)
+            index_text = extract_text_index(crawl_text)
+            res.crawl_texts[row["url"]] = crawl_text
+            res.texts[row["url"]] = index_text.encode("utf-8")
+
+            # index (P4-P6, A1)
+            tf = term_freqs(index_text)
+            for term, freq in tf:
+                res.postings.append(
+                    {"term": term, "job_id": row["job_id"], "url": row["url"],
+                     "url_hash": row["url_hash"], "frequency": freq}
+                )
+            m["n_indexed"] += 1
+            m["n_postings"] += len(tf)
+
+            # discover children (P1, F2-F5, D1)
+            job = jobs[row["job_id"]]
+            if row["depth"] < job["depth_limit"]:
+                for link in extract_links(page, row["url"]):
+                    pp = urlparse(link)
+                    if pp.scheme not in ("http", "https"):
+                        continue  # F2
+                    if not job["domain"] and pp.netloc != job["seed_netloc"]:
+                        continue  # F3
+                    child = _canon(cfg, link)
+                    h = url_md5(child)
+                    m["n_disc"] += 1
+                    if h in res.seen:
+                        continue  # D1 discovery-time dedup
+                    res.seen[h] = (child, rnd + 1)
+                    m["n_new"] += 1
+                    next_frontier.append(
+                        {"job_id": row["job_id"], "url": child, "url_hash": h,
+                         "host": urlparse(child).netloc, "depth": row["depth"] + 1,
+                         "tries": 0, "seed_idx": row["seed_idx"]}
+                    )
+
+        res.metrics.append(m)
+        frontier = next_frontier
+        rnd += 1
+
+    res.rounds = rnd
+    return res
+
+
+# --- §2.8 search grammar (master.py:167-211) ---------------------------
+
+
+def parse_query(raw: str) -> tuple[list[str], str, list[str]]:
+    """Returns (stemmed include terms incl. phrase terms, 'AND'|'OR',
+    stemmed exclude terms) — quirks preserved: one global mode flag, a
+    trailing bare 'not' becomes an include term, phrases tokenize+stem
+    then rejoin with spaces (3+-word phrases can never match the
+    unigram+bigram index)."""
+    raw = raw.lower()
+    phrases = re.findall(r'"([^"]+)"', raw)
+    raw = re.sub(r'"[^"]+"', "", raw)
+    parts = raw.split()
+    include: list[str] = []
+    exclude: list[str] = []
+    op = "AND"
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "or":
+            op = "OR"
+        elif p == "not" and i + 1 < len(parts):
+            exclude.append(parts[i + 1])
+            i += 1
+        elif p != "and":
+            include.append(p)
+        i += 1
+    terms = [porter_stem(w) for w in include]
+    for ph in phrases:
+        toks = tokenize(ph)
+        terms.append(" ".join(porter_stem(w) for w in toks))
+    ex_stems = [porter_stem(w) for w in exclude]
+    return terms, op, ex_stems
+
+
+def search_oracle(postings: list[dict], raw: str) -> list[tuple[str, int]]:
+    """Evaluate the grammar over a postings list, mirroring the SQL at
+    master.py:189-211: GROUP BY url, HAVING matches = |terms| (AND) or
+    >= 1 (OR), NOT IN exclusion, ORDER BY SUM(frequency) DESC.
+    MySQL's ORDER BY is not stable, so ties are broken by url ASC here
+    and in the engine (documented determinism upgrade)."""
+    if not raw.strip():
+        return []
+    terms, op, ex_stems = parse_query(raw)
+    if not terms:
+        return []
+    tset = set(terms)
+    # quirk: HAVING matches = len(terms) counts duplicate query terms,
+    # while matches is COUNT(DISTINCT term) — a query repeating a term
+    # can never satisfy AND mode (master.py:199-203). Preserved.
+    need = len(terms)
+    by_url: dict[str, dict] = {}
+    for row in postings:
+        if row["term"] in tset:
+            d = by_url.setdefault(row["url"], {"freq": 0, "terms": set()})
+            d["freq"] += row["frequency"]
+            d["terms"].add(row["term"])
+    if ex_stems:
+        exset = set(ex_stems)
+        excluded_urls = {row["url"] for row in postings if row["term"] in exset}
+    else:
+        excluded_urls = set()
+    out = []
+    for url, d in by_url.items():
+        if url in excluded_urls:
+            continue
+        matches = len(d["terms"])
+        if (op == "AND" and matches == need) or (op == "OR" and matches >= 1):
+            out.append((url, d["freq"]))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out

@@ -1,0 +1,128 @@
+"""Unit tests for the pure-Python kernels shared by UDFs and oracle."""
+
+from cloud_based_web_crawling_indexing_system_spark.functions.htmltext import (
+    extract_links,
+    extract_text_crawl,
+    extract_text_index,
+    extract_text_reference,
+)
+from cloud_based_web_crawling_indexing_system_spark.functions.stemmer import porter_stem
+from cloud_based_web_crawling_indexing_system_spark.functions.terms import term_freqs, tokenize
+from cloud_based_web_crawling_indexing_system_spark.functions.urlnorm import (
+    canonicalize_full,
+    host_hash31,
+    url_md5,
+)
+from cloud_based_web_crawling_indexing_system_spark.functions.robots import RobotsRules
+
+
+HTML = (
+    "<html><head><title>T</title><script>var x=1;</script>"
+    "<style>b{}</style></head><body><!-- c --><p>Hello &amp; world</p>"
+    '<a href="/a#frag">A</a><a href="b.html">B</a>'
+    '<a href="mailto:x@y">M</a><a href>E</a></body></html>'
+)
+
+
+def test_crawl_text_includes_script_style_and_decodes_entities():
+    t = extract_text_crawl(HTML)
+    assert "var x=1;" in t and "b{}" in t
+    assert "Hello & world" in t
+    assert "c" not in t.split()  # comment excluded
+
+
+def test_index_text_double_decode_quirk():
+    # P2 turns &amp;lt; into '&lt;'; P3 re-decodes that charref to a
+    # literal '<' in the text (NOT a tag) — reference double-decode quirk.
+    t2 = extract_text_crawl("<p>a &amp;lt;b&amp;gt; c</p>")
+    assert t2 == "a &lt;b&gt; c"
+    assert extract_text_index(t2) == "a <b> c"
+    # a RAW '<' surviving P2 (e.g. script bodies) does open a bogus
+    # tag in P3 and swallows text to the next '>'
+    assert extract_text_index("x if(a<b) y>z") == "x if(a z"
+
+
+def test_reference_composition_drops_markup_keeps_script_text():
+    t = extract_text_reference(HTML)
+    # script/style bodies survive (P2 kept them, P3 sees no tags)
+    assert "var x=1;" in t
+    assert "<" not in t
+
+
+def test_extract_links_order_dupes_fragments():
+    links = extract_links(HTML, "http://h.example/dir/page.html")
+    assert links == [
+        "http://h.example/a",
+        "http://h.example/dir/b.html",
+        "mailto:x@y",
+        "http://h.example/dir/page.html",  # href='' -> urljoin(base,'')
+    ]
+
+
+def test_porter_classic_vocabulary():
+    expected = {
+        "caresses": "caress", "ponies": "poni", "ties": "tie", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "dying": "die",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer", "airliner": "airlin",
+        "gyroscopic": "gyroscop", "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll", "news": "news",
+        "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+        "inning": "inning", "outing": "outing",
+    }
+    got = {w: porter_stem(w) for w in expected}
+    assert got == expected
+
+
+def test_tokenize_unicode_word_chars():
+    assert tokenize("Café niño 网络 بيانات x1_y") == ["café", "niño", "网络", "بيانات", "x1_y"]
+
+
+def test_term_freqs_unigram_bigram():
+    tf = dict(term_freqs("data data engine"))
+    assert tf["data"] == 2 and tf["engin"] == 1  # stems, not raw tokens
+    assert tf["data data"] == 1 and tf["data engin"] == 1
+
+
+def test_urlnorm():
+    assert url_md5("http://a/") == "e9565a2bbe055ef1a77c7a2aec0a0ad1" or len(url_md5("http://a/")) == 32
+    assert 0 <= host_hash31("h.example") < 2**31
+    assert canonicalize_full("HTTPS://WWW.Ex.com:443/a%7Eb//c?b=2&a=1#f") == "http://ex.com/a~b/c?a=1&b=2"
+
+
+def test_robots_rules():
+    rules = RobotsRules("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")
+    assert not rules.can_fetch("http://h/private/x.html")
+    assert rules.can_fetch("http://h/public.html")
+    assert rules.delay == 2.0
+    # Crawl-delay: 0 falls back to default via the reference's `or`
+    rules0 = RobotsRules("User-agent: *\nCrawl-delay: 0\n")
+    assert rules0.delay == 1.0
+    # failed fetch -> allow-all
+    assert RobotsRules(None).can_fetch("http://h/private/x.html")
+
+
+def test_search_grammar_quirks():
+    from cloud_based_web_crawling_indexing_system_spark.oracle import parse_query
+
+    terms, op, ex = parse_query('running or "data engine" not slow and fast')
+    assert op == "OR" and ex == ["slow"]
+    assert terms == ["run", "fast", "data engin"]
+    # trailing bare 'not' becomes an include term
+    terms2, _, ex2 = parse_query("fast not")
+    assert terms2 == ["fast", "not"] and ex2 == []
