@@ -1,0 +1,469 @@
+"""The crawl engine: one round = one set-oriented DataFrame job.
+
+Reference dataflow being re-expressed (SURVEY.md §3.1): the Cloud
+pipeline's per-message worker loop
+(/root/reference/Cloud/scripts/crawler_worker.py:86-224 and
+/root/reference/Cloud/scripts/indexer_worker.py:75-182) becomes a
+round-by-round BFS where each round is:
+
+  frontier(r)
+    ⨝ broadcast(robots)  -> can_fetch gate (F6) + delay (C1)
+    -> politeness token-bucket window (admit/defer)
+    ⨝ pages on url (left) = "fetch" (J2); miss -> tries+1 retry (C2/F9)
+    -> parse_page UDF: text P2, index_text P3∘P2, links P1/F4 (one parse)
+    -> scheme/domain filters F2/F3, depth gate F5
+    -> seen dedup: bloom prefilter + exact anti-join + in-batch window (D1/D2)
+    -> commit: postings(r) via term_freqs UDF (P4-P6/A1), texts(r),
+       metrics(r) incl. per-partition lineage, frontier(r+1), seen(r+1)
+
+Every commit is a replace-write of a round-keyed parquet snapshot
+(sources/lake.py), so a crashed round replays idempotently and a run
+resumes from the last fully-committed round (C8).
+
+Determinism: ordering keys are content-derived only — canonical row
+order (host_hash, depth, url), in-batch dedup winner
+(parent_host_hash, parent_depth, parent_url, link_pos) — so results
+are identical at any parallelism level (verified by
+tests/test_parallelism.py) and equal to the sequential oracle
+(oracle.py, verified by tests/test_crawl_vs_oracle.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    can_fetch_udf,
+    canon_full_udf,
+    parse_page_udf,
+    robots_delay_udf,
+    term_freqs_udf,
+    url_meta_udf,
+)
+from ..oracle import CrawlConfig
+from ..sources.lake import RoundTable
+from .politeness import admit_defer
+from .seen import BloomSeen, filter_new
+
+__all__ = ["CrawlRun", "FRONTIER_COLS"]
+
+FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "host_hash", "depth", "tries", "seed_idx"]
+
+_METRICS_SCHEMA = "round int, partition_id int, stage string, key string, value long"
+
+
+def _host_hash31_col(host_col) -> F.Column:
+    """31-bit md5-slice host hash, identical to urlnorm.host_hash31 —
+    pure JVM (whole-stage codegen), no Python round trip."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(host_col, "utf-8")), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
+def _url_md5_col(url_col) -> F.Column:
+    return F.md5(F.encode(url_col, "utf-8"))
+
+
+class CrawlRun:
+    """A resumable crawl over a pages corpus, all state under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = cfg or CrawlConfig()
+        self.frontier = RoundTable(spark, os.path.join(root, "frontier"))
+        self.seen = RoundTable(spark, os.path.join(root, "seen_urls"))
+        self.postings = RoundTable(spark, os.path.join(root, "postings"))
+        self.texts = RoundTable(spark, os.path.join(root, "texts"))
+        self.metrics = RoundTable(spark, os.path.join(root, "metrics"))
+        self._jobs_df: DataFrame | None = None
+        self._robots_df: DataFrame | None = None
+        self._pages_path: str | None = None
+        self._bloom: BloomSeen | None = None
+
+    # -- setup -------------------------------------------------------------
+
+    def init(self, pages_path: str, robots_df: DataFrame, seeds_df: DataFrame) -> None:
+        """Seed submission (S1/D3/F7/F8) + frontier round 0.
+
+        Seeds are a tiny dim handled driver-side in pandas — exactly
+        like the reference master's in-process form handling
+        (/root/reference/Cloud/scripts/master.py:101-145)."""
+        cfg = self.cfg
+        os.makedirs(self.root, exist_ok=True)
+
+        seeds = seeds_df.toPandas().sort_values("seed_idx")
+        lo, hi = cfg.depth_clamp
+        jobs_rows, frontier_rows, seen_rows = [], [], []
+        seen_hashes: set[str] = set()
+        from ..functions.urlnorm import canonicalize_full, host_hash31, url_md5
+
+        for r in seeds.itertuples():
+            p = urlparse(r.seed_url)
+            jobs_rows.append(
+                {
+                    "job_id": r.job_id,
+                    "depth_limit": max(lo, min(int(r.depth_limit), hi)),  # F8
+                    "seed_netloc": p.netloc,
+                    "domain": p.path in ("", "/"),  # F7
+                }
+            )
+            url = canonicalize_full(r.seed_url) if cfg.canonicalization == "full" else r.seed_url
+            h = url_md5(url)
+            if h in seen_hashes:
+                continue  # D3 order-preserving dedup + global seen
+            seen_hashes.add(h)
+            host = urlparse(url).netloc
+            frontier_rows.append(
+                {
+                    "job_id": r.job_id,
+                    "url": url,
+                    "url_hash": h,
+                    "host": host,
+                    "host_hash": host_hash31(host),
+                    "depth": 0,
+                    "tries": 0,
+                    "seed_idx": int(r.seed_idx),
+                }
+            )
+            seen_rows.append({"url_hash": h, "url": url, "first_round": 0})
+
+        jobs_pdf = pd.DataFrame(jobs_rows)
+        jobs_pdf.to_parquet(os.path.join(self.root, "jobs.parquet"), index=False)
+
+        # robots dim: parse delay once per host (P9), persist for resume
+        rob = robots_df.select(
+            "host", "robots_txt", robots_delay_udf("robots_txt").alias("delay")
+        )
+        rob.write.mode("overwrite").parquet(os.path.join(self.root, "robots"))
+
+        with open(os.path.join(self.root, "state.json"), "w") as f:
+            json.dump({"pages_path": pages_path, "cfg": asdict(self.cfg)}, f)
+
+        fr0 = self.spark.createDataFrame(
+            pd.DataFrame(frontier_rows, columns=FRONTIER_COLS),
+            schema="job_id string, url string, url_hash string, host string, "
+            "host_hash long, depth int, tries int, seed_idx int",
+        )
+        seen0 = self.spark.createDataFrame(
+            pd.DataFrame(seen_rows, columns=["url_hash", "url", "first_round"]),
+            schema="url_hash string, url string, first_round int",
+        )
+        self.frontier.write_round(0, fr0)
+        self.seen.write_round(0, seen0)
+        self._load_dims()
+
+    def _load_dims(self) -> None:
+        with open(os.path.join(self.root, "state.json")) as f:
+            st = json.load(f)
+        self._pages_path = st["pages_path"]
+        cfg = CrawlConfig(**{**st["cfg"], "depth_clamp": tuple(st["cfg"]["depth_clamp"])})
+        self.cfg = cfg
+        jobs_pdf = pd.read_parquet(os.path.join(self.root, "jobs.parquet"))
+        self._jobs_df = self.spark.createDataFrame(jobs_pdf).cache()
+        self._robots_df = self.spark.read.parquet(os.path.join(self.root, "robots")).cache()
+        if cfg.use_bloom:
+            self._bloom = BloomSeen(self.spark)
+            seen_all = self.seen.read_all()
+            if seen_all is not None:
+                self._bloom.add_positions_df(seen_all)
+
+    def add_seeds(self, new_urls: list[str], job_id: str, depth: int = 1) -> None:
+        """Mid-crawl seed append (S10, Local dynamic_urls.json): union
+        unseen urls into the NEXT round's frontier at the given depth."""
+        rnd = self.frontier.last_round()
+        assert rnd is not None, "init first"
+        from ..functions.urlnorm import host_hash31, url_md5
+
+        cur = self.frontier.read_round(rnd).drop("round")
+        seen_df = self.seen.read_all()
+        rows = []
+        for u in new_urls:
+            host = urlparse(u).netloc
+            rows.append(
+                {"job_id": job_id, "url": u, "url_hash": url_md5(u), "host": host,
+                 "host_hash": host_hash31(host), "depth": depth, "tries": 0, "seed_idx": -1}
+            )
+        new_df = self.spark.createDataFrame(pd.DataFrame(rows, columns=FRONTIER_COLS))
+        new_df = filter_new(new_df, seen_df, None)
+        self.frontier.write_round(rnd, cur.unionByName(new_df))
+        add_seen = new_df.select(
+            "url_hash", "url", F.lit(rnd).alias("first_round")
+        )
+        prev_seen = self.seen.read_round(rnd).drop("round") if rnd in self.seen.committed_rounds() else None
+        merged = add_seen if prev_seen is None else prev_seen.unionByName(add_seen)
+        self.seen.write_round(rnd, merged)
+        if self._bloom is not None:
+            self._bloom.add_positions_df(add_seen)
+
+    # -- the round ---------------------------------------------------------
+
+    def step(self) -> dict:
+        """Process frontier round r; commit all round-r effects +
+        frontier/seen round r+1. Returns the round's metric dict."""
+        cfg = self.cfg
+        if self._jobs_df is None:
+            self._load_dims()
+        r = self.frontier.last_round()
+        assert r is not None, "call init() first"
+
+        f = self.frontier.read_round(r).drop("round")
+        # robots gate + politeness budget — broadcast join on host (J3)
+        rob = self._robots_df
+        f2 = (
+            f.join(F.broadcast(rob), "host", "left")
+            .withColumn(
+                "allowed",
+                F.when(F.col("robots_txt").isNull(), F.lit(True)).otherwise(
+                    can_fetch_udf("robots_txt", "url")
+                ),
+            )
+            .withColumn("delay", F.coalesce(F.col("delay"), F.lit(cfg.default_delay)))
+            .withColumn(
+                "budget",
+                F.greatest(
+                    F.lit(1), F.floor(F.lit(cfg.round_budget_s) / F.col("delay"))
+                ).cast("int"),
+            )
+            .drop("robots_txt")
+        )
+        f2.persist()
+        n_in = f2.count()
+        if n_in == 0:
+            f2.unpersist()
+            return {"round": r, "n_in": 0, "done": True}
+
+        passing = f2.where(F.col("allowed"))
+        if cfg.politeness:
+            decided = admit_defer(passing, "budget")
+        else:
+            decided = passing.withColumn("admitted", F.lit(True))
+        decided.persist()
+        admitted = decided.where(F.col("admitted"))
+        deferred = decided.where(~F.col("admitted")).select(*FRONTIER_COLS)
+
+        # fetch (J2): left join against the pages corpus; in production
+        # pages is bucketed by url so this is a co-located join; AQE
+        # handles skew splitting here in any case.
+        pages = self.spark.read.parquet(self._pages_path).select("url", "html")
+        joined = admitted.join(pages, "url", "left")
+
+        parsed = (
+            joined.where(F.col("html").isNotNull())
+            .withColumn("p", parse_page_udf("html", "url"))
+            .drop("html")
+            .select(
+                *FRONTIER_COLS,
+                F.col("p.text").alias("text"),
+                F.col("p.index_text").alias("index_text"),
+                F.col("p.links").alias("links"),
+                F.col("p.link_schemes").alias("link_schemes"),
+                F.col("p.link_hosts").alias("link_hosts"),
+            )
+        )
+        parsed.persist()  # consumed by postings, texts, children, metrics
+
+        missed = joined.where(F.col("html").isNull()).select(*FRONTIER_COLS)
+        missed.persist()
+        retry = (
+            missed.where(F.col("tries") + 1 < F.lit(cfg.max_tries))
+            .withColumn("tries", F.col("tries") + 1)
+            .select(*FRONTIER_COLS)
+        )
+
+        # index (P4-P6, A1): per-page counts happen inside the UDF —
+        # map-side only, NO shuffle for the counting step.
+        tf = parsed.withColumn("t", term_freqs_udf("index_text")).select(
+            "job_id",
+            "url",
+            "url_hash",
+            F.col("t.terms").alias("terms"),
+            F.col("t.freqs").alias("freqs"),
+        )
+        postings_delta = tf.select(
+            "job_id",
+            "url",
+            "url_hash",
+            F.explode(F.arrays_zip("terms", "freqs")).alias("z"),
+        ).select(
+            F.col("z.terms").alias("term"),
+            "job_id",
+            "url",
+            "url_hash",
+            F.col("z.freqs").cast("long").alias("frequency"),
+        )
+
+        # children (P1 explode + F2/F3/F5 + canonicalization)
+        parents = parsed.join(F.broadcast(self._jobs_df), "job_id")
+        kids = (
+            parents.where(F.col("depth") < F.col("depth_limit"))
+            .select(
+                "job_id",
+                "seed_idx",
+                "domain",
+                "seed_netloc",
+                F.col("depth").alias("parent_depth"),
+                F.col("url").alias("parent_url"),
+                F.col("host_hash").alias("parent_host_hash"),
+                F.posexplode(F.arrays_zip("links", "link_schemes", "link_hosts")).alias(
+                    "link_pos", "l"
+                ),
+            )
+            .where(F.col("l.link_schemes").isin("http", "https"))  # F2
+            .where(F.col("domain") | (F.col("l.link_hosts") == F.col("seed_netloc")))  # F3
+        )
+        if cfg.canonicalization == "full":
+            cand = kids.withColumn("child_url", canon_full_udf(F.col("l.links")))
+            meta = cand.withColumn("m", url_meta_udf("child_url"))
+            cand = meta.select(
+                "job_id", "seed_idx", "parent_depth", "parent_url", "parent_host_hash",
+                "link_pos", "child_url",
+                F.col("m.host").alias("child_host"),
+                F.col("m.url_hash").alias("url_hash"),
+                F.col("m.host_hash").alias("child_host_hash"),
+            )
+        else:
+            cand = kids.select(
+                "job_id", "seed_idx", "parent_depth", "parent_url", "parent_host_hash",
+                "link_pos",
+                F.col("l.links").alias("child_url"),
+                F.col("l.link_hosts").alias("child_host"),
+                _url_md5_col(F.col("l.links")).alias("url_hash"),
+                _host_hash31_col(F.col("l.link_hosts")).alias("child_host_hash"),
+            )
+        cand.persist()
+        n_disc = cand.count()
+
+        # D1/D2/J4: bloom prefilter + exact anti-join vs seen, then
+        # first-discoverer-wins within the batch (deterministic key).
+        seen_df = self.seen.read_all()
+        new_cand = filter_new(cand, seen_df, self._bloom)
+        w = Window.partitionBy("url_hash").orderBy(
+            "parent_host_hash", "parent_depth", "parent_url", "link_pos"
+        )
+        new_children = (
+            new_cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "job_id",
+                F.col("child_url").alias("url"),
+                "url_hash",
+                F.col("child_host").alias("host"),
+                F.col("child_host_hash").alias("host_hash"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                F.lit(0).alias("tries"),
+                "seed_idx",
+            )
+        )
+
+        next_frontier = deferred.unionByName(retry).unionByName(new_children)
+        # cluster the next round by host so the politeness window and
+        # per-host work co-locate; AQE coalesces small rounds.
+        next_frontier = next_frontier.repartition(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
+        )
+        next_frontier.persist()
+
+        # ---- commits (idempotent replay order, SURVEY §4.4) ----
+        self.postings.write_round(r, postings_delta)
+        self.texts.write_round(r, parsed.select("url", "text", "index_text"))
+
+        # metrics incl. per-partition lineage (C6/A3, north_rule)
+        n_admitted = admitted.count()
+        n_passing = passing.count()
+        n_blocked = n_in - n_passing
+        n_deferred = n_passing - n_admitted
+        n_fetched = parsed.count()
+        n_miss_total = missed.count()
+        n_retry = retry.count()
+        n_failed = n_miss_total - n_retry
+        n_new = new_children.count()
+        n_postings = postings_delta.count()
+        part_stats = (
+            parsed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("value"))
+            .select(
+                F.lit(r).alias("round"),
+                "partition_id",
+                F.lit("parse").alias("stage"),
+                F.lit("n_parsed").alias("key"),
+                "value",
+            )
+        )
+        glob = self.spark.createDataFrame(
+            [
+                (r, -1, "round", k, int(v))
+                for k, v in [
+                    ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
+                    ("n_fetched", n_fetched), ("n_missed", n_retry), ("n_failed", n_failed),
+                    ("n_disc", n_disc), ("n_new", n_new), ("n_indexed", n_fetched),
+                    ("n_postings", n_postings),
+                ]
+            ],
+            schema=_METRICS_SCHEMA,
+        )
+        self.metrics.write_round(r, glob.unionByName(part_stats))
+
+        self.frontier.write_round(r + 1, next_frontier)
+        new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
+        self.seen.write_round(r + 1, new_seen)
+        if self._bloom is not None:
+            self._bloom.add_positions_df(new_seen)
+
+        for df in (f2, decided, parsed, missed, cand, next_frontier):
+            df.unpersist()
+
+        return {
+            "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
+            "n_fetched": n_fetched, "n_missed": n_retry, "n_failed": n_failed,
+            "n_disc": n_disc, "n_new": n_new, "n_indexed": n_fetched,
+            "n_postings": n_postings, "done": False,
+        }
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Crawl until the frontier drains (or max_rounds). Safe to call
+        after a crash — continues from the last committed round."""
+        out = []
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        while True:
+            r = self.frontier.last_round()
+            if r is not None and r >= limit:
+                break
+            m = self.step()
+            if m.get("done"):
+                break
+            out.append(m)
+        return out
+
+    # -- views ---------------------------------------------------------------
+
+    def frontier_log_df(self) -> DataFrame | None:
+        return self.frontier.read_all()
+
+    def seen_df(self) -> DataFrame | None:
+        return self.seen.read_all()
+
+    def texts_df(self) -> DataFrame | None:
+        return self.texts.read_all()
+
+    def metrics_df(self) -> DataFrame | None:
+        return self.metrics.read_all()
+
+    def postings_df(self) -> DataFrame | None:
+        """Current postings state — the MERGE INTO view (A2): deltas
+        grouped to (term, job_id, url) with summed frequency."""
+        deltas = self.postings.read_all()
+        if deltas is None:
+            return None
+        return deltas.groupBy("term", "job_id", "url", "url_hash").agg(
+            F.sum("frequency").alias("frequency")
+        )

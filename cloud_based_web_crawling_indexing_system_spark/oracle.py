@@ -62,6 +62,7 @@ class CrawlConfig:
     depth_clamp: tuple[int, int] = (1, 5)  # master.py:107
     canonicalization: str = "reference"  # or "full"
     politeness: bool = True
+    use_bloom: bool = True  # engine-only: bloom prefilter before the exact anti-join
 
 
 @dataclass

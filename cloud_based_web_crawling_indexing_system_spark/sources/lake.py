@@ -1,0 +1,105 @@
+"""Round-log lake tables: snapshot-per-round parquet with atomic commits.
+
+The north-star deployment stores every engine table (frontier,
+seen_urls, postings, metrics) in Iceberg, one snapshot per crawl
+round, resumable mid-crawl (BASELINE.json:14).  The Iceberg runtime
+jars are not in this sandbox, so this module provides the same
+*semantics* over plain parquet with an explicit commit log — the API
+is shaped so an Iceberg backend is a drop-in (`append` -> writeTo().
+append(), `replace_round` -> overwriteWhere, `committed_rounds` ->
+snapshot history):
+
+    table/
+      data/round=NNNNNN/*.parquet   (written first)
+      _commits/NNNNNN.json          (written last, via atomic rename)
+
+Readers only see rounds with a commit marker, so a crashed round is
+invisible and a re-run of the same round replaces its data directory
+then re-marks it — idempotent replay, which is exactly the resume
+contract (SURVEY.md §4.4, C8).
+
+Scale notes: at 10^10 URLs each round directory is written by all
+executors in parallel (plain distributed parquet write — no driver
+bottleneck); reading `rounds <= r` is partition-pruned by directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["RoundTable"]
+
+
+@dataclass
+class RoundTable:
+    spark: SparkSession
+    path: str  # table root directory
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _commit_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def committed_rounds(self) -> list[int]:
+        d = self._commit_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f[:-5]) for f in os.listdir(d) if f.endswith(".json"))
+
+    def last_round(self) -> int | None:
+        rs = self.committed_rounds()
+        return rs[-1] if rs else None
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self._data_dir, f"round={rnd:06d}")
+
+    def write_round(self, rnd: int, df: DataFrame, meta: dict | None = None) -> None:
+        """Replace-write round ``rnd`` then commit it (Iceberg:
+        ``overwrite(col('round')==rnd)`` in one snapshot)."""
+        rd = self._round_dir(rnd)
+        if os.path.isdir(rd):
+            shutil.rmtree(rd)  # idempotent replay of an uncommitted/re-run round
+        df.write.mode("overwrite").parquet(rd)
+        os.makedirs(self._commit_dir, exist_ok=True)
+        marker = {"round": rnd, "ts": time.time(), **(meta or {})}
+        tmp = os.path.join(self._commit_dir, f".{rnd:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))  # atomic
+
+    def read_round(self, rnd: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return self.spark.read.parquet(self._round_dir(rnd)).withColumn("round", F.lit(rnd))
+
+    def read_all(self, upto: int | None = None) -> DataFrame | None:
+        """Union of all committed rounds (optionally <= upto), with the
+        round injected as a column — the 'current table state' view."""
+        from functools import reduce
+
+        rounds = self.committed_rounds()
+        if upto is not None:
+            rounds = [r for r in rounds if r <= upto]
+        if not rounds:
+            return None
+        dfs = [self.read_round(r) for r in rounds]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def truncate_after(self, rnd: int) -> None:
+        """Drop commits > rnd (used by kill-and-resume tests to model a
+        crash between rounds)."""
+        for r in self.committed_rounds():
+            if r > rnd:
+                os.remove(os.path.join(self._commit_dir, f"{r:06d}.json"))
+                rd = self._round_dir(r)
+                if os.path.isdir(rd):
+                    shutil.rmtree(rd)
