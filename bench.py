@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries + crawl end-to-end.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The crawl_e2e entry times a full deterministic crawl
+(schedule + robots + politeness + fetch-join + parse + dedup + index)
+over a generated fixture corpus (cached under .cache/), and the
+throughput in URLs/s is reported in the auxiliary "crawl" key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig  # noqa: E402
+from cloud_based_web_crawling_indexing_system_spark.plans import probes  # noqa: E402
+from cloud_based_web_crawling_indexing_system_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_topk_revenue_orders",
+    "q07_top3_orders_per_customer",
+    "q11_events_hourly",
+    "q12_sessionize",
+    "q18_term_freq_top50",
+    "q20_postings",
+    "q21_search_and",
+    "q24_minhash_lsh_pairs",
+    "q25_simhash_signatures",
+    "q27_knn_cosine_top5",
+    "q31_blob_stats",
+]
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_CORPUS = os.path.join(REPO, ".cache", "bench_corpus_small")
+
+
+def ensure_corpus(path: str, n_hosts: int, n_pages: int) -> None:
+    marker = os.path.join(path, "pages.parquet")
+    if os.path.exists(marker):
+        return
+    from cloud_based_web_crawling_indexing_system_spark.sources.fixtures import write_corpus
+
+    write_corpus(path, scale="small", seed=42, n_hosts=n_hosts, n_pages=n_pages)
+
+
+def bench_crawl(spark, corpus_dir: str, workdir: str) -> dict:
+    from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    cfg = CrawlConfig(round_budget_s=1e9, max_rounds=12)  # politeness computed, all admitted
+    run = CrawlRun(spark, workdir, cfg)
+    run.init(
+        os.path.join(corpus_dir, "pages.parquet"),
+        spark.read.parquet(os.path.join(corpus_dir, "robots.parquet")),
+        spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet")),
+    )
+    t0 = time.time()
+    metrics = run.run()
+    dt = time.time() - t0
+    fetched = sum(m["n_fetched"] for m in metrics)
+    scheduled = sum(m["n_in"] for m in metrics)
+    return {
+        "sec": dt,
+        "rounds": len(metrics),
+        "urls_fetched": fetched,
+        "urls_scheduled": scheduled,
+        "urls_per_sec": round(fetched / dt, 1) if dt > 0 else None,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(master=f"local[{cpus}]", app_name="cbwcis-bench")
+    spark.range(1000).count()  # warm up
+
+    reg = probes.registry()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = reg[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    ensure_corpus(BENCH_CORPUS, n_hosts=80, n_pages=8000)
+    crawl = bench_crawl(spark, BENCH_CORPUS, os.path.join(REPO, ".cache", "bench_crawl_run"))
+    times["crawl_e2e"] = round(crawl["sec"], 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_e2e",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

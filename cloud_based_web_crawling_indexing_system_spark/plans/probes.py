@@ -1,0 +1,974 @@
+"""Driver-contract probes: every SQL-expressible operator shape from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, quality, fingerprinting, multimodal plumbing),
+each as a (PySpark DataFrame builder, DuckDB oracle SQL) pair over
+the driver testdata tables (TESTDATA.md).
+
+Design rules that make the driver's order-insensitive value-hash
+comparison exact:
+- every aggregate over DOUBLE columns casts to DECIMAL first (exact
+  arithmetic) and back to DOUBLE at the end — no float-summation-order
+  divergence between Spark and DuckDB;
+- every float ratio is a single IEEE division of exact values (or is
+  rounded where a reduction over floats is unavoidable, e.g. cosine);
+- every LIMIT follows a total ORDER (explicit tiebreaks);
+- every computed column is aliased identically in both engines;
+- timestamps leave the plan as epoch-second BIGINTs.
+
+The crawl-specific operators that are NOT SQL-expressible (the round
+loop itself, bloom seen-set, robots gate, byte-identical extraction,
+Porter stemming) are verified against the sequential oracle in
+tests/test_crawl_vs_oracle.py instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_ops import bigrams, minhash_cols, shingles, simhash16, simhash_combine, tokens
+
+Probe = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, Probe] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def probe(name: str, oracle: str | None = None):
+    def deco(fn: Probe) -> Probe:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Probe]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# =====================================================================
+# relational core (J1-J8, A1-A4, O1-O4, F-series shapes)
+# =====================================================================
+
+
+@probe(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@probe(
+    "q02_topk_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@probe(
+    "q03_region_customer_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@probe(
+    "q04_customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@probe(
+    "q05_active_customers_semi",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_active
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1996-01-01 00:00:00")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@probe(
+    "q06_order_priority_value",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def q06(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@probe(
+    "q07_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def q07(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@probe(
+    "q08_running_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM orders
+    """,
+)
+def q08(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@probe(
+    "q09_parttype_revenue",
+    """
+    SELECT p.p_type,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q09(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@probe(
+    "q10_supplier_nation_stats",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q10(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"),
+            F.max(_dec("s_acctbal")).cast("double").alias("max_bal"),
+        )
+    )
+
+
+# =====================================================================
+# events: streams-shaped probes (windowing, sessionization, dedup,
+# politeness/budget, first-discovery — the frontier-op shapes)
+# =====================================================================
+
+
+@probe(
+    "q11_events_hourly",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q11(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@probe(
+    "q12_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q12(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@probe(
+    "q13_first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q13(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@probe(
+    "q14_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    """,
+)
+def q14(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@probe(
+    "q15_user_value_topk",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC LIMIT 20
+    """,
+)
+def q15(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@probe(
+    "q16_politeness_budget",
+    """
+    WITH r AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rk
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+    FROM r GROUP BY user_id
+    """,
+)
+def q16(spark, sf_dir):
+    # the C1 token-bucket shape: rank-within-host <= budget
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0)).cast("long").alias("n_admitted"),
+            F.sum(F.when(F.col("rk") > 3, 1).otherwise(0)).cast("long").alias("n_deferred"),
+        )
+    )
+
+
+@probe(
+    "q17_seen_first_discovery",
+    """
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q17(spark, sf_dir):
+    # D1/J8 shape: first discovery per key + re-discovery count
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+# =====================================================================
+# documents: crawl/index/search-shaped probes (P4/P6/A1/A4/J5/J6/O1)
+# =====================================================================
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)"
+)
+
+
+@probe(
+    "q18_term_freq_top50",
+    f"""
+    {_TOKS_CTE}
+    SELECT term, COUNT(*) AS freq FROM (SELECT unnest(t) AS term FROM toks)
+    GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
+    """,
+)
+def q18(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@probe(
+    "q19_bigram_top50",
+    f"""
+    {_TOKS_CTE}
+    SELECT term, COUNT(*) AS freq FROM (
+      SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS term
+      FROM toks)
+    GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
+    """,
+)
+def q19(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .select(F.explode(bigrams("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+_POSTINGS_CTE = f"""
+    {_TOKS_CTE},
+    postings AS (
+      SELECT doc_id, term, COUNT(*) AS freq
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term)
+"""
+
+
+def _postings_df(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@probe(
+    "q20_postings",
+    f"{_POSTINGS_CTE} SELECT doc_id, term, freq FROM postings",
+)
+def q20(spark, sf_dir):
+    return _postings_df(spark, sf_dir)
+
+
+@probe(
+    "q21_search_and",
+    f"""
+    {_POSTINGS_CTE}
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, SUM(freq) AS frequency
+    FROM postings WHERE term IN ('data', 'vector', 'window')
+    GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    ORDER BY frequency DESC, url ASC
+    """,
+)
+def q21(spark, sf_dir):
+    # §2.8 AND query (J6 broadcast semi-join + A4 + having + O1)
+    p = _postings_df(spark, sf_dir)
+    terms = spark.createDataFrame([("data",), ("vector",), ("window",)], "term string")
+    return (
+        p.join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("freq").alias("frequency"), F.countDistinct("term").alias("m"))
+        .where(F.col("m") == 3)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "frequency",
+        )
+        .orderBy(F.desc("frequency"), F.asc("url"))
+    )
+
+
+@probe(
+    "q22_search_or_not",
+    f"""
+    {_POSTINGS_CTE}
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, SUM(freq) AS frequency
+    FROM postings
+    WHERE term IN ('merge', 'stream')
+      AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term IN ('slow'))
+    GROUP BY doc_id HAVING COUNT(DISTINCT term) >= 1
+    ORDER BY frequency DESC, url ASC
+    """,
+)
+def q22(spark, sf_dir):
+    # §2.8 OR + NOT (J5 anti-join exclusion)
+    p = _postings_df(spark, sf_dir)
+    inc = spark.createDataFrame([("merge",), ("stream",)], "term string")
+    exc = spark.createDataFrame([("slow",)], "term string")
+    excluded = p.join(F.broadcast(exc), "term").select("doc_id").distinct()
+    return (
+        p.join(F.broadcast(inc), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("freq").alias("frequency"))
+        .join(excluded, "doc_id", "left_anti")
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "frequency",
+        )
+        .orderBy(F.desc("frequency"), F.asc("url"))
+    )
+
+
+# =====================================================================
+# deduplication suite (training-pipeline ops)
+# =====================================================================
+
+
+@probe(
+    "q23_exact_dup_groups",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                                         t -> t <> 'dup'), ' ') AS norm_text
+      FROM documents)
+    SELECT md5(norm_text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+    FROM norm GROUP BY md5(norm_text) HAVING COUNT(*) > 1
+    """,
+)
+def q23(spark, sf_dir):
+    """Exact dedup after canonicalization: tokenize, drop the planted
+    'dup' marker token, hash the normalized token stream, group —
+    the normalize->hash->groupBy exact-dup pipeline."""
+    norm = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.expr("filter(" + "regexp_extract_all(lower(text), '\\\\w+', 0)" + ", t -> t <> 'dup')"), " ").alias("norm_text"),
+    )
+    return (
+        norm.groupBy(F.md5(F.encode(F.col("norm_text"), "utf-8")).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_SHINGLE_CTE = f"""
+    {_TOKS_CTE},
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+                 AS shingle
+        FROM toks))
+"""
+
+
+def _shingles_df(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("shingle"))
+        .distinct()
+    )
+
+
+_MH_K = 8
+_MH_SELECT = ", ".join(
+    f"MIN(md5('{j}|' || shingle)) AS mh{j}" for j in range(_MH_K)
+)
+
+
+@probe(
+    "q24_minhash_lsh_pairs",
+    f"""
+    {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q24(spark, sf_dir):
+    """MinHash (k=8, md5-based) + LSH banding (4 bands x 2 rows):
+    candidate near-dup pairs = docs sharing >= 1 band bucket.  The
+    shingle->minhash->band->bucket-join pipeline of SURVEY-scale dedup,
+    fully engine-agnostic hashes."""
+    sh = _shingles_df(spark, sf_dir)
+    mh = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}|"), F.col("shingle")), "utf-8"))).alias(f"mh{j}")
+        for j in range(_MH_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.encode(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")), "utf-8")).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+_SIMHASH_SELECT = ", ".join(
+    f"SUM(CASE WHEN substr(md5(term), {j + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sh" + str(j)
+    for j in range(16)
+)
+_SIMHASH_COMBINE = " + ".join(f"(CASE WHEN sh{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+
+@probe(
+    "q25_simhash_signatures",
+    f"""
+    {_TOKS_CTE},
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    bits AS (SELECT doc_id, {_SIMHASH_SELECT} FROM terms GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS INT) AS simhash FROM bits
+    """,
+)
+def q25(spark, sf_dir):
+    """16-bit SimHash per doc from md5-nibble majorities — identical
+    arithmetic in Spark/DuckDB/Python."""
+    terms = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    bits = terms.groupBy("doc_id").agg(*simhash16("term"))
+    return bits.select("doc_id", simhash_combine().alias("simhash"))
+
+
+@probe(
+    "q26_ngram_jaccard_pairs",
+    f"""
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6
+    """,
+)
+def q26(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    j = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .where(j >= 0.6)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# =====================================================================
+# similarity search over embeddings
+# =====================================================================
+
+_COS = """
+  list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+  (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+   sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+"""
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"aggregate(zip_with({a}, {a}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nb = F.expr(
+        f"aggregate(zip_with({b}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+@probe(
+    "q27_knn_cosine_top5",
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({_COS}, 4) AS cosine
+    FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id ASC) <= 5
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q27(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query
+    set, JVM-side fold for the dot products, per-query window top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        _t(spark, sf_dir, "embeddings")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _cosine_expr("qe", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+@probe(
+    "q28_embedding_neardup_pairs",
+    f"""
+    SELECT q.vec_id AS vec_a, e.vec_id AS vec_b, ROUND({_COS}, 4) AS cosine
+    FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+    WHERE {_COS} > 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q28(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cosine_expr("ea", "eb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") > 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# =====================================================================
+# text quality / stats / fingerprinting / multimodal plumbing
+# =====================================================================
+
+_STOPWORDS = ("the", "a")
+
+
+@probe(
+    "q29_doc_quality",
+    f"""
+    {_TOKS_CTE}
+    SELECT doc_id, len(t) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+           ROUND(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(t), 6) AS stopword_ratio,
+           CASE WHEN len(t) >= 40 AND
+                     CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.12
+                THEN 'high' ELSE 'low' END AS quality
+    FROM toks JOIN documents USING (doc_id)
+    """,
+)
+def q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    n_stop = F.expr("size(filter(t, x -> x IN ('the', 'a')))")
+    ratio = n_stop.cast("double") / F.size("t")
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when((F.size("t") >= 40) & (ratio < 0.12), "high").otherwise("low").alias("quality"),
+    )
+
+
+@probe(
+    "q30_doc_fingerprint",
+    f"""
+    {_SHINGLE_CTE}
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q30(spark, sf_dir):
+    """Winnowing-style doc fingerprint: min shingle hash (rolling-hash
+    family, md5 for engine parity)."""
+    sh = _shingles_df(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.encode(F.col("shingle"), "utf-8"))).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+@probe(
+    "q31_blob_stats",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5, lang, source
+    FROM documents
+    """,
+)
+def q31(spark, sf_dir):
+    """Multimodal plumbing shape: treat content as an opaque blob with
+    typed metadata; hash + size computed on the binary."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("content_md5"),
+        "lang",
+        "source",
+    )
+
+
+@probe(
+    "q32_lang_source_stats",
+    f"""
+    {_TOKS_CTE}
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM toks JOIN documents USING (doc_id)
+    GROUP BY lang, source
+    """,
+)
+def q32(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("t", tokens("text"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("t")).cast("long").alias("total_tokens"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
