@@ -1,0 +1,106 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Two tiers:
+- Catalyst builders (`*_col`) — JVM-side, whole-stage-codegen'd, used
+  for ASCII corpora and the sf-testdata probes (plans/probes.py);
+- a vectorized pandas UDF (`lang_id_udf`) for the Unicode-aware
+  language heuristic, exercised on the multilingual crawl fixture
+  corpus (zh/ar/es/de tokens) where script detection matters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .terms import WORD_RE
+
+__all__ = ["lang_id", "lang_id_udf", "quality_cols", "token_count_cols", "fingerprint_col"]
+
+# tiny per-language stopword/marker sets (public common words)
+_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "es": {"el", "la", "de", "que", "y", "los", "año", "señal"},
+    "de": {"der", "die", "das", "und", "ist", "über", "straße"},
+    "fr": {"le", "la", "les", "des", "est", "une"},
+}
+
+
+def lang_id(text: str) -> str:
+    """Deterministic n-gram/script heuristic:
+    1. script vote — CJK chars -> zh, Arabic block -> ar;
+    2. marker-word vote among latin languages;
+    3. fallback 'en'."""
+    if not text:
+        return "und"
+    cjk = arab = latin = 0
+    for ch in text[:2000]:
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            cjk += 1
+        elif 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F:
+            arab += 1
+        elif ch.isalpha():
+            latin += 1
+    if cjk > 3 and cjk * 10 >= latin:
+        return "zh"
+    if arab > 3 and arab * 10 >= latin:
+        return "ar"
+    toks = WORD_RE.findall(text.lower()[:4000])
+    best, best_score = "en", 0
+    for lang, markers in _MARKERS.items():
+        score = sum(1 for t in toks if t in markers)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: lang_id(t) if t is not None else None)
+
+
+def quality_cols(tokens_col: str, text_col: str) -> list[Column]:
+    """Length / punctuation / stopword-ratio quality features —
+    all built-in expressions (no Python)."""
+    n_tok = F.size(tokens_col)
+    n_stop = F.expr(f"size(filter({tokens_col}, t -> t IN ('the','a','and','of','to')))")
+    n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[\.,;:!\?]", ""))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.expr(f"aggregate({tokens_col}, 0L, (acc, t) -> acc + length(t))").cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return [
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0).alias("stopword_ratio"),
+        n_punct.cast("long").alias("n_punct"),
+        mean_tok_len.alias("mean_token_len"),
+    ]
+
+
+def token_count_cols(text_col: str) -> list[Column]:
+    """Whitespace tokens vs word-regex tokens vs a BPE-ish
+    subword-piece count (regex splitting on letter/digit boundaries)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|[0-9]{1,3}|[^\sa-z0-9]"), 0
+        )
+    )
+    return [
+        ws.cast("long").alias("n_ws_tokens"),
+        words.cast("long").alias("n_word_tokens"),
+        bpe_ish.cast("long").alias("n_subword_pieces"),
+    ]
+
+
+def fingerprint_col(shingle_col: str) -> Column:
+    """Rolling-hash winnowing fingerprint = min md5 over shingles
+    (use after groupBy(doc))."""
+    return F.min(F.md5(F.encode(F.col(shingle_col), "utf-8"))).alias("fingerprint")

@@ -88,6 +88,7 @@ class CrawlRun:
         self._jobs_df: DataFrame | None = None
         self._robots_df: DataFrame | None = None
         self._pages_path: str | None = None
+        self._pages_df: DataFrame | None = None
         self._bloom: BloomSeen | None = None
 
     # -- setup -------------------------------------------------------------
@@ -171,6 +172,10 @@ class CrawlRun:
         jobs_pdf = pd.read_parquet(os.path.join(self.root, "jobs.parquet"))
         self._jobs_df = self.spark.createDataFrame(jobs_pdf).cache()
         self._robots_df = self.spark.read.parquet(os.path.join(self.root, "robots")).cache()
+        # one DataFrame per run: reuses the parquet FileIndex (no
+        # re-listing per round); only (url, html) are ever read -> the
+        # scan is column-pruned to exactly those two columns.
+        self._pages_df = self.spark.read.parquet(self._pages_path).select("url", "html")
         if cfg.use_bloom:
             self._bloom = BloomSeen(self.spark)
             seen_all = self.seen.read_all()
@@ -195,27 +200,63 @@ class CrawlRun:
             )
         new_df = self.spark.createDataFrame(pd.DataFrame(rows, columns=FRONTIER_COLS))
         new_df = filter_new(new_df, seen_df, None)
-        self.frontier.write_round(rnd, cur.unionByName(new_df))
+        # localCheckpoint materializes the union BEFORE the replace-
+        # write deletes the directory it reads from
+        merged_frontier = cur.unionByName(new_df).localCheckpoint(eager=True)
+        self.frontier.write_round(rnd, merged_frontier)
         add_seen = new_df.select(
             "url_hash", "url", F.lit(rnd).alias("first_round")
         )
         prev_seen = self.seen.read_round(rnd).drop("round") if rnd in self.seen.committed_rounds() else None
         merged = add_seen if prev_seen is None else prev_seen.unionByName(add_seen)
+        merged = merged.localCheckpoint(eager=True)
         self.seen.write_round(rnd, merged)
         if self._bloom is not None:
-            self._bloom.add_positions_df(add_seen)
+            self._bloom.add_positions_df(merged)
 
     # -- the round ---------------------------------------------------------
 
     def step(self) -> dict:
         """Process frontier round r; commit all round-r effects +
-        frontier/seen round r+1. Returns the round's metric dict."""
+        frontier/seen round r+1. Returns the round's metric dict.
+
+        Scale/shuffle design (north_rule: partitioning/shuffle/skew
+        explicit):
+        - the fetch join streams the HUGE pages table past a
+          *broadcast* of the (bounded) admitted frontier — the pages
+          side is never shuffled; fetch misses come from a
+          column-pruned anti-join that reads only pages.url.  When a
+          round exceeds ``broadcast_fetch_rows`` the plan falls back
+          to a shuffled equi-join (production: pages bucketed by url
+          makes that co-located);
+        - per-page term counting happens inside the Arrow UDF
+          (map-side; the postings build has NO shuffle);
+        - politeness ranks via salted two-phase windows
+          (operators/politeness.py) so mega-hosts don't serialize;
+        - counts for metrics come from committed parquet footers
+          (free) wherever possible instead of extra jobs.
+        """
+        import time as _time
+
+        prof: dict[str, float] = {}
+
+        def _mark(key: str, t0: float) -> float:
+            t1 = _time.time()
+            prof[key] = round(t1 - t0, 3)
+            return t1
+
         cfg = self.cfg
         if self._jobs_df is None:
             self._load_dims()
-        r = self.frontier.last_round()
-        assert r is not None, "call init() first"
+        # round progress is defined by the metrics table, which is the
+        # LAST commit of a round — a crash between any two table
+        # commits leaves metrics(r) absent, so the whole round replays
+        # (every write is a replace -> idempotent).
+        last_done = self.metrics.last_round()
+        r = 0 if last_done is None else last_done + 1
+        assert self.frontier.last_round() is not None, "call init() first"
 
+        t0 = _time.time()
         f = self.frontier.read_round(r).drop("round")
         # robots gate + politeness budget — broadcast join on host (J3)
         rob = self._robots_df
@@ -238,6 +279,7 @@ class CrawlRun:
         )
         f2.persist()
         n_in = f2.count()
+        t0 = _mark("robots", t0)
         if n_in == 0:
             f2.unpersist()
             return {"round": r, "n_in": 0, "done": True}
@@ -248,18 +290,33 @@ class CrawlRun:
         else:
             decided = passing.withColumn("admitted", F.lit(True))
         decided.persist()
+        row = decided.agg(
+            F.count("*").alias("n_decided"),
+            F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
+        ).collect()[0]
+        n_passing = int(row["n_decided"])
+        n_admitted = int(row["n_admitted"] or 0)
+        n_blocked = n_in - n_passing
+        n_deferred = n_passing - n_admitted
+        t0 = _mark("politeness", t0)
         admitted = decided.where(F.col("admitted"))
         deferred = decided.where(~F.col("admitted")).select(*FRONTIER_COLS)
 
-        # fetch (J2): left join against the pages corpus; in production
-        # pages is bucketed by url so this is a co-located join; AQE
-        # handles skew splitting here in any case.
-        pages = self.spark.read.parquet(self._pages_path).select("url", "html")
-        joined = admitted.join(pages, "url", "left")
+        # fetch (J2): stream the pages corpus past a BROADCAST of the
+        # admitted frontier (inner join, pages never shuffled); misses
+        # via column-pruned anti-join on pages.url only.  Falls back to
+        # a shuffled left join when the round is too big to broadcast.
+        pages = self._pages_df
+        if n_admitted <= cfg.broadcast_fetch_rows:
+            fetched = pages.join(F.broadcast(admitted), "url", "inner")
+            missed = admitted.join(pages.select("url"), "url", "left_anti")
+        else:
+            joined = admitted.join(pages, "url", "left")
+            fetched = joined.where(F.col("html").isNotNull())
+            missed = joined.where(F.col("html").isNull()).select(*FRONTIER_COLS)
 
         parsed = (
-            joined.where(F.col("html").isNotNull())
-            .withColumn("p", parse_page_udf("html", "url"))
+            fetched.withColumn("p", parse_page_udf("html", "url"))
             .drop("html")
             .select(
                 *FRONTIER_COLS,
@@ -272,8 +329,6 @@ class CrawlRun:
         )
         parsed.persist()  # consumed by postings, texts, children, metrics
 
-        missed = joined.where(F.col("html").isNull()).select(*FRONTIER_COLS)
-        missed.persist()
         retry = (
             missed.where(F.col("tries") + 1 < F.lit(cfg.max_tries))
             .withColumn("tries", F.col("tries") + 1)
@@ -341,11 +396,16 @@ class CrawlRun:
                 _host_hash31_col(F.col("l.link_hosts")).alias("child_host_hash"),
             )
         cand.persist()
+        n_fetched = parsed.count()  # materializes the parse once for all consumers
         n_disc = cand.count()
+        t0 = _mark("fetch_parse", t0)
 
         # D1/D2/J4: bloom prefilter + exact anti-join vs seen, then
         # first-discoverer-wins within the batch (deterministic key).
-        seen_df = self.seen.read_all()
+        # upto=r bounds the read to committed rounds: a crash may have
+        # left a stale seen(r+1) from the interrupted attempt, which
+        # must not leak into the replay's dedup.
+        seen_df = self.seen.read_all(upto=r)
         new_cand = filter_new(cand, seen_df, self._bloom)
         w = Window.partitionBy("url_hash").orderBy(
             "parent_host_hash", "parent_depth", "parent_url", "link_pos"
@@ -367,27 +427,29 @@ class CrawlRun:
 
         next_frontier = deferred.unionByName(retry).unionByName(new_children)
         # cluster the next round by host so the politeness window and
-        # per-host work co-locate; AQE coalesces small rounds.
-        next_frontier = next_frontier.repartition(
-            int(self.spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
-        )
-        next_frontier.persist()
+        # per-host work co-locate; partition count scales with round
+        # size (tiny rounds -> single file, no 32-file sprays).
+        shuffle_p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_parts = max(1, min(shuffle_p, n_disc // 20_000 + 1))
+        next_frontier = next_frontier.repartition(n_parts, "host_hash")
 
-        # ---- commits (idempotent replay order, SURVEY §4.4) ----
+        # ---- commits (idempotent replay order, SURVEY §4.4):
+        # postings/texts (round-r effects) -> seen(r+1) -> frontier(r+1)
+        # -> metrics(r) LAST as the round-done marker.
         self.postings.write_round(r, postings_delta)
         self.texts.write_round(r, parsed.select("url", "text", "index_text"))
+        new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
+        self.seen.write_round(r + 1, new_seen.coalesce(max(1, n_parts // 4)))
+        self.frontier.write_round(r + 1, next_frontier)
+        t0 = _mark("commit", t0)
 
-        # metrics incl. per-partition lineage (C6/A3, north_rule)
-        n_admitted = admitted.count()
-        n_passing = passing.count()
-        n_blocked = n_in - n_passing
-        n_deferred = n_passing - n_admitted
-        n_fetched = parsed.count()
-        n_miss_total = missed.count()
-        n_retry = retry.count()
-        n_failed = n_miss_total - n_retry
-        n_new = new_children.count()
-        n_postings = postings_delta.count()
+        # metrics incl. per-partition lineage (C6/A3, north_rule);
+        # derived counts come from committed parquet footers (free)
+        n_new = self.seen.read_round(r + 1).count()  # footer metadata
+        n_next = self.frontier.read_round(r + 1).count()  # footer metadata
+        n_postings = self.postings.read_round(r).count()  # footer metadata
+        n_retry = n_next - n_deferred - n_new
+        n_failed = (n_admitted - n_fetched) - n_retry
         part_stats = (
             parsed.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("value"))
@@ -413,21 +475,24 @@ class CrawlRun:
         )
         self.metrics.write_round(r, glob.unionByName(part_stats))
 
-        self.frontier.write_round(r + 1, next_frontier)
-        new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
-        self.seen.write_round(r + 1, new_seen)
         if self._bloom is not None:
-            self._bloom.add_positions_df(new_seen)
+            # feed the bloom from the committed seen snapshot (single
+            # cheap re-read, no recomputation of the dedup subplan)
+            self._bloom.add_positions_df(self.seen.read_round(r + 1))
+        t0 = _mark("metrics_bloom", t0)
 
-        for df in (f2, decided, parsed, missed, cand, next_frontier):
+        for df in (f2, decided, parsed, cand):
             df.unpersist()
 
-        return {
+        out = {
             "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
             "n_fetched": n_fetched, "n_missed": n_retry, "n_failed": n_failed,
             "n_disc": n_disc, "n_new": n_new, "n_indexed": n_fetched,
             "n_postings": n_postings, "done": False,
         }
+        if os.environ.get("CBWCIS_PROFILE"):
+            out["profile"] = prof
+        return out
 
     def run(self, max_rounds: int | None = None) -> list[dict]:
         """Crawl until the frontier drains (or max_rounds). Safe to call
@@ -435,8 +500,9 @@ class CrawlRun:
         out = []
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         while True:
-            r = self.frontier.last_round()
-            if r is not None and r >= limit:
+            last_done = self.metrics.last_round()
+            r_next = 0 if last_done is None else last_done + 1
+            if r_next >= limit:
                 break
             m = self.step()
             if m.get("done"):

@@ -63,6 +63,10 @@ class CrawlConfig:
     canonicalization: str = "reference"  # or "full"
     politeness: bool = True
     use_bloom: bool = True  # engine-only: bloom prefilter before the exact anti-join
+    # engine-only: max admitted rows for the broadcast fetch join; above
+    # this the fetch falls back to a shuffled equi-join (production:
+    # pages bucketed by url makes that co-located)
+    broadcast_fetch_rows: int = 2_000_000
 
 
 @dataclass

@@ -176,10 +176,14 @@ def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
                     hrefs.append(tgt)  # absolute-path relative href
                 else:
                     hrefs.append(f"http://{h}{tgt}")
-            # root links to early pages so BFS reaches the host quickly
+            # root is a hub; every page chains to the next one — so a
+            # depth-5 domain crawl reaches most of a host (bench needs
+            # realistic BFS growth, not islands)
             if path == "/" and len(paths) > 1:
-                for tgt in paths[1 : min(len(paths), 12)]:
+                for tgt in paths[1 : min(len(paths), 30)]:
                     hrefs.append(tgt)
+            if pi + 1 < len(paths):
+                hrefs.append(paths[pi + 1])
             # cross-host
             for _ in range(rng.randint(0, 3)):
                 oh = hosts[rng.randrange(H)]
@@ -224,7 +228,7 @@ def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
             {
                 "job_id": str(uuid.UUID(int=seed * 1000 + i)),
                 "seed_url": su,
-                "depth_limit": [2, 3, 1, 2, 2][i % 5],
+                "depth_limit": [9, 4, 2, 3, 5][i % 5],  # 9 exercises the [1,5] clamp (F8)
                 "domain": (lambda p: p in ("", "/"))(su.split("://", 1)[1].partition("/")[1] and "/" + su.split("://", 1)[1].partition("/")[2] or "/"),
                 "seed_idx": i,
                 "created_at": _EPOCH,

@@ -1,0 +1,117 @@
+"""Tests for the training-data-pipeline operator library: quality/
+lang-id, similarity search (brute force + SRP-LSH ANN), multimodal
+binary plumbing, and the Structured Streaming façades."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+    attach_blob,
+    decode_image_meta,
+    frame_sample,
+)
+from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+    lang_id,
+    lang_id_udf,
+    quality_cols,
+    token_count_cols,
+)
+from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+    ann_topk,
+    brute_force_topk,
+    srp_lsh_buckets,
+    srp_planes,
+)
+from cloud_based_web_crawling_indexing_system_spark.functions.text_ops import tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_id_heuristic_on_fixture_corpus(spark, tiny_corpus):
+    pages = spark.read.parquet(tiny_corpus["pages"]).select("url", "text", "lang")
+    got = pages.withColumn("pred", lang_id_udf("text")).where(
+        F.col("lang").isin("zh", "ar")
+    )
+    rows = got.collect()
+    assert rows
+    correct = sum(1 for r in rows if r["pred"] == r["lang"])
+    assert correct / len(rows) > 0.9  # script detection should nail zh/ar
+
+    assert lang_id("网络 爬虫 索引 数据") == "zh"
+    assert lang_id("شبكة زاحف فهرس") == "ar"
+    assert lang_id("the cat and the dog of the house") == "en"
+    assert lang_id("el corazón de la música y los años") == "es"
+
+
+def test_quality_and_token_count_cols(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["The cat, and a dog!", "x", "a a a the the of to"]})
+    ).withColumn("t", tokens("text"))
+    out = df.select(*quality_cols("t", "text"), *token_count_cols("text")).collect()
+    r0 = out[0]
+    assert r0["n_tokens"] == 5 and r0["n_stopwords"] == 3
+    assert r0["n_punct"] == 2
+    assert out[2]["stopword_ratio"] == 1.0
+    assert r0["n_ws_tokens"] == 5 and r0["n_word_tokens"] == 5
+
+
+def test_brute_force_vs_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ann_topk(emb, queries, k=10, n_planes=4, dim=64)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert ap  # buckets are non-degenerate
+    # ANN results must be a subset-quality approximation: every ANN hit
+    # shares the query's bucket by construction; recall is imperfect
+    # but must be > 0 on this data
+    assert len(ex & ap) > 0
+    # determinism: same call twice -> identical buckets
+    b1 = sorted((r["vec_id"], r["bucket"]) for r in srp_lsh_buckets(emb).select("vec_id", "bucket").collect())
+    b2 = sorted((r["vec_id"], r["bucket"]) for r in srp_lsh_buckets(emb).select("vec_id", "bucket").collect())
+    assert b1 == b2
+    planes = srp_planes(4, 8)
+    assert planes == srp_planes(4, 8) and all(v in (1.0, -1.0) for row in planes for v in row)
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = attach_blob(docs, "text", "doc_id", kind="video")
+    decoded = decode_image_meta(media)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["sha"]) == 64
+        assert 64 <= r["width"] < 256 and 1 <= r["n_channels"] <= 4
+    frames = frame_sample(media, every_n=5).collect()
+    assert frames and all(f["frame_idx"] % 5 == 0 for f in frames)
+
+
+def test_streaming_page_ingest_and_metrics(spark, tiny_corpus, tmp_path):
+    from cloud_based_web_crawling_indexing_system_spark.streaming.facade import (
+        live_metrics_stream,
+        page_ingest_stream,
+    )
+
+    src = str(tmp_path / "drops")
+    import shutil, os
+
+    os.makedirs(src)
+    shutil.copy(tiny_corpus["pages"], os.path.join(src, "drop1.parquet"))
+    sink = str(tmp_path / "corpus_sink")
+    q = page_ingest_stream(spark, src, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(tiny_corpus["pages"]).count()
+    assert spark.read.parquet(sink).count() == n_src  # unique urls pass through
+
+    # metrics monitor stream over a fake metrics table dir
+    mdir = str(tmp_path / "metrics_data")
+    spark.createDataFrame(
+        [(0, -1, "round", "n_fetched", 10), (1, -1, "round", "n_fetched", 20)],
+        "round int, partition_id int, stage string, key string, value long",
+    ).write.parquet(mdir)
+    mq = live_metrics_stream(spark, mdir, query_name="mon_test")
+    mq.awaitTermination(120)
+    out = {(r["stage"], r["key"]): r["total"] for r in spark.sql("SELECT * FROM mon_test").collect()}
+    assert out[("round", "n_fetched")] == 30

@@ -1,0 +1,113 @@
+"""Resume-from-checkpoint, idempotent replay, shuffle-parallelism
+invariance, and mid-crawl seed append (SURVEY.md §5.3 property tests).
+"""
+
+import pandas as pd
+import pytest
+
+from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig
+from cloud_based_web_crawling_indexing_system_spark.sources.fixtures import write_corpus
+
+CFG = CrawlConfig(round_budget_s=1e9)  # politeness open; fewer rounds -> faster
+
+
+@pytest.fixture(scope="module")
+def micro_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus_micro")
+    return write_corpus(str(d), scale="tiny", seed=7, n_hosts=6, n_pages=80)
+
+
+def _snapshot(run: CrawlRun):
+    seen = sorted(
+        (r["url_hash"], r["url"], r["first_round"]) for r in run.seen_df().collect()
+    )
+    postings = sorted(
+        (r["term"], r["job_id"], r["url"], r["frequency"]) for r in run.postings_df().collect()
+    )
+    frontier = sorted(
+        (r["round"], r["url"], r["depth"], r["tries"]) for r in run.frontier_log_df().collect()
+    )
+    return seen, postings, frontier
+
+
+def _fresh_run(spark, root, corpus, cfg=CFG) -> CrawlRun:
+    run = CrawlRun(spark, str(root), cfg)
+    run.init(
+        corpus["pages"],
+        spark.read.parquet(corpus["robots"]),
+        spark.read.parquet(corpus["seeds"]),
+    )
+    return run
+
+
+def test_kill_and_resume_identical(spark, micro_corpus, tmp_path):
+    ref = _fresh_run(spark, tmp_path / "full", micro_corpus)
+    ref.run()
+    want = _snapshot(ref)
+
+    # crash cleanly after round 1 (all round-1 commits present)
+    broken = _fresh_run(spark, tmp_path / "crashA", micro_corpus)
+    broken.step()
+    broken.step()
+    for t in (broken.postings, broken.texts, broken.metrics):
+        t.truncate_after(1)
+    for t in (broken.frontier, broken.seen):
+        t.truncate_after(2)
+    resumed = CrawlRun(spark, str(tmp_path / "crashA"))  # cfg reloaded from state.json
+    resumed.run()
+    assert _snapshot(resumed) == want
+
+    # crash MID-round 1: postings(1)/texts(1)/seen(2)/frontier(2) in
+    # various committed states but metrics(1) — the round-done marker —
+    # missing -> round 1 replays idempotently (every write replaces)
+    broken2 = _fresh_run(spark, tmp_path / "crashB", micro_corpus)
+    broken2.step()
+    broken2.step()
+    broken2.metrics.truncate_after(0)  # marker gone
+    broken2.texts.truncate_after(0)
+    broken2.frontier.truncate_after(1)
+    # postings(1) and seen(2) left committed (partial commit set)
+    resumed2 = CrawlRun(spark, str(tmp_path / "crashB"))
+    resumed2.run()
+    assert _snapshot(resumed2) == want
+
+
+def test_shuffle_parallelism_invariance(spark, micro_corpus, tmp_path):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _fresh_run(spark, tmp_path / "p3", micro_corpus)
+        a.run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _fresh_run(spark, tmp_path / "p17", micro_corpus)
+        b.run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _snapshot(a) == _snapshot(b)
+
+
+def test_no_bloom_equals_bloom(spark, micro_corpus, tmp_path):
+    a = _fresh_run(spark, tmp_path / "bloom", micro_corpus, CFG)
+    a.run()
+    cfg_nb = CrawlConfig(round_budget_s=1e9, use_bloom=False)
+    b = _fresh_run(spark, tmp_path / "nobloom", micro_corpus, cfg_nb)
+    b.run()
+    assert _snapshot(a) == _snapshot(b)
+
+
+def test_dynamic_seed_append(spark, micro_corpus, tmp_path):
+    pages = pd.read_parquet(micro_corpus["pages"])
+    run = _fresh_run(spark, tmp_path / "dyn", micro_corpus)
+    run.step()
+    # pick an uncrawled page url and inject it (S10 dynamic url source)
+    seen_urls = {r["url"] for r in run.seen_df().collect()}
+    candidates = [u for u in pages.url if u not in seen_urls]
+    assert candidates
+    job = pd.read_parquet(micro_corpus["seeds"]).job_id.iloc[0]
+    run.add_seeds([candidates[0]], job_id=job, depth=1)
+    run.run()
+    texts = {r["url"] for r in run.texts_df().collect()}
+    assert candidates[0] in texts
+    seen = run.seen_df()
+    assert seen.where(seen.url == candidates[0]).count() == 1
