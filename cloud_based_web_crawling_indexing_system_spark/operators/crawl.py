@@ -286,7 +286,9 @@ class CrawlRun:
 
         passing = f2.where(F.col("allowed"))
         if cfg.politeness:
-            decided = admit_defer(passing, "budget")
+            # salting pays only when a host partition could be huge;
+            # small rounds take the single-window plan (one shuffle)
+            decided = admit_defer(passing, "budget", salts=8 if n_in >= 50_000 else 1)
         else:
             decided = passing.withColumn("admitted", F.lit(True))
         decided.persist()
@@ -430,17 +432,29 @@ class CrawlRun:
         # per-host work co-locate; partition count scales with round
         # size (tiny rounds -> single file, no 32-file sprays).
         shuffle_p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        n_parts = max(1, min(shuffle_p, n_disc // 20_000 + 1))
+        n_parts = max(1, min(shuffle_p, n_disc // 5_000 + 1))
         next_frontier = next_frontier.repartition(n_parts, "host_hash")
 
         # ---- commits (idempotent replay order, SURVEY §4.4):
-        # postings/texts (round-r effects) -> seen(r+1) -> frontier(r+1)
-        # -> metrics(r) LAST as the round-done marker.
-        self.postings.write_round(r, postings_delta)
-        self.texts.write_round(r, parsed.select("url", "text", "index_text"))
+        # round-r effects and the r+1 state commit CONCURRENTLY (Spark
+        # schedules independent jobs from separate threads); the
+        # metrics(r) marker — the only commit that flips the round to
+        # "done" — is strictly AFTER all of them, so a crash anywhere
+        # in the parallel group still replays the whole round.
         new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
-        self.seen.write_round(r + 1, new_seen.coalesce(max(1, n_parts // 4)))
-        self.frontier.write_round(r + 1, next_frontier)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self.postings.write_round, r, postings_delta),
+                pool.submit(self.texts.write_round, r,
+                            parsed.select("url", "text", "index_text")),
+                pool.submit(self.seen.write_round, r + 1,
+                            new_seen.coalesce(max(1, n_parts // 4))),
+                pool.submit(self.frontier.write_round, r + 1, next_frontier),
+            ]
+            for fut in futs:
+                fut.result()  # propagate failures BEFORE the marker
         t0 = _mark("commit", t0)
 
         # metrics incl. per-partition lineage (C6/A3, north_rule);

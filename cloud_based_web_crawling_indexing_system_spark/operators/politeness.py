@@ -42,6 +42,11 @@ def admit_defer(
     deferrals.  ``df`` must carry host, depth, url and ``budget_col``.
     """
     order = [F.col(c) for c in ORDER_COLS]
+    if salts <= 1:
+        w = Window.partitionBy("host").orderBy(*order)
+        return df.withColumn(
+            "admitted", F.row_number().over(w) <= F.col(budget_col)
+        )
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salts)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     ranked1 = salted.withColumn("_rk1", F.row_number().over(w1))

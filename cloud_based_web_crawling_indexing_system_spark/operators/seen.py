@@ -80,11 +80,12 @@ class BloomSeen:
 
         @F.pandas_udf("boolean")
         def probe(*cols: pd.Series) -> pd.Series:
-            packed = bc.value
-            bits = np.unpackbits(packed).astype(bool)
+            packed = bc.value  # np.packbits layout: MSB-first within byte
             out = np.ones(len(cols[0]), dtype=bool)
             for c in cols:
-                out &= bits[c.to_numpy(dtype=np.int64)]
+                pos = c.to_numpy(dtype=np.int64)
+                byte = packed[pos >> 3]
+                out &= ((byte >> (7 - (pos & 7))) & 1).astype(bool)
             return pd.Series(out)
 
         return with_pos.withColumn("_maybe_seen", probe(*pos_names)).drop(*pos_names)

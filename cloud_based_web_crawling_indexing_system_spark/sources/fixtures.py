@@ -87,9 +87,13 @@ def _para(rng: Random, lang: str, n: int) -> str:
     return " ".join(rng.choice(words) for _ in range(n))
 
 
-def _page_html(rng: Random, host: str, path: str, lang: str, hrefs: list[str]) -> str:
+def _page_html(rng: Random, host: str, path: str, lang: str, hrefs: list[str],
+               para_words: tuple[int, int] = (8, 40), n_paras: tuple[int, int] = (1, 4)) -> str:
     title = _para(rng, "en", 3)
-    body_paras = [f"<p>{_para(rng, lang, rng.randint(8, 40))}</p>" for _ in range(rng.randint(1, 4))]
+    body_paras = [
+        f"<p>{_para(rng, lang, rng.randint(*para_words))}</p>"
+        for _ in range(rng.randint(*n_paras))
+    ]
     entity_bits = ""
     if rng.random() < 0.3:
         # entity double-decode quirk material: &amp;lt; -> &lt; -> <

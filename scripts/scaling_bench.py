@@ -1,0 +1,157 @@
+"""Two-parallelism scaling benchmark (the north_rule's N-vs-4N
+criterion, sandbox form): the SAME crawl job + SAME input corpus at
+local[8] and local[32]; report URLs/s at both and the scaling
+efficiency (thr_32 / thr_8) / 4, target >= 0.8 (BASELINE.json:14).
+
+Usage:
+  python scripts/scaling_bench.py                  # orchestrate both runs
+  python scripts/scaling_bench.py --cpus 8 --json  # one run (subprocess)
+
+Each parallelism level runs in its OWN process/JVM so executor-thread
+count, shuffle partitions, and python worker pools are truly per-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS = os.path.join(REPO, ".cache", "scaling_corpus")
+N_HOSTS = int(os.environ.get("SCALING_HOSTS", "400"))
+N_PAGES = int(os.environ.get("SCALING_PAGES", "150000"))
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS, "pages.parquet", "_SUCCESS")):
+        return
+    from cloud_based_web_crawling_indexing_system_spark.session import get_spark
+    from cloud_based_web_crawling_indexing_system_spark.sources.fixtures_spark import (
+        write_corpus_spark,
+    )
+
+    spark = get_spark(master="local[32]", app_name="gen-scaling-corpus",
+                      shuffle_partitions=64)
+    t0 = time.time()
+    write_corpus_spark(spark, CORPUS, n_hosts=N_HOSTS, n_pages=N_PAGES, seed=42,
+                       para_words=(60, 160), n_paras=(4, 10), p_dangling=0.03)
+    print(f"corpus generated in {time.time()-t0:.1f}s", file=sys.stderr)
+    spark.stop()
+
+
+def run_one(cpus: int) -> dict:
+    from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+    from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig
+    from cloud_based_web_crawling_indexing_system_spark.session import get_spark
+
+    # IDENTICAL plan at both parallelism levels: same shuffle width,
+    # same scan splits — the only variable is executor thread count.
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"scaling-{cpus}",
+        shuffle_partitions=48,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.range(1000).count()
+    wd = os.path.join(REPO, ".cache", f"scaling_run_{cpus}")
+    if os.path.isdir(wd):
+        shutil.rmtree(wd)
+    cfg = CrawlConfig(round_budget_s=1e9, max_rounds=10)
+    run = CrawlRun(spark, wd, cfg)
+    run.init(
+        os.path.join(CORPUS, "pages.parquet"),
+        spark.read.parquet(os.path.join(CORPUS, "robots.parquet")),
+        spark.read.parquet(os.path.join(CORPUS, "seeds.parquet")),
+    )
+    t0 = time.time()
+    metrics = run.run()
+    dt = time.time() - t0
+    fetched = sum(m["n_fetched"] for m in metrics)
+    scheduled = sum(m["n_in"] for m in metrics)
+    postings = sum(m["n_postings"] for m in metrics)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "sec": round(dt, 2),
+        "rounds": len(metrics),
+        "urls_scheduled": scheduled,
+        "urls_fetched": fetched,
+        "postings": postings,
+        "urls_per_sec": round(fetched / dt, 2),
+    }
+
+
+def orchestrate() -> None:
+    ensure_corpus()
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--json"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if out.returncode != 0:
+            print(out.stdout, out.stderr, file=sys.stderr)
+            raise SystemExit(f"run at {cpus} cpus failed")
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(results[cpus]), file=sys.stderr)
+    eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4.0
+    report = {
+        "corpus": {"n_hosts": N_HOSTS, "n_pages": N_PAGES},
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+    _write_md(report)
+
+
+def _write_md(rep: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+North-rule criterion (BASELINE.json:14): same job, same input, two
+parallelism levels, throughput scaling efficiency >= 0.8.  Sandbox
+evidence: full crawl (schedule + robots + politeness + fetch-join +
+parse + dedup + index + per-round snapshot commits) of a
+{rep['corpus']['n_pages']:,}-page / {rep['corpus']['n_hosts']}-host deterministic corpus, run in separate
+JVMs at local[8] and local[32].
+
+| parallelism | wall sec | rounds | URLs fetched | URLs/s |
+|---|---|---|---|---|
+| local[8]  | {rep['local8']['sec']} | {rep['local8']['rounds']} | {rep['local8']['urls_fetched']:,} | {rep['local8']['urls_per_sec']:,} |
+| local[32] | {rep['local32']['sec']} | {rep['local32']['rounds']} | {rep['local32']['urls_fetched']:,} | {rep['local32']['urls_per_sec']:,} |
+
+**Scaling efficiency = (thr_32 / thr_8) / 4 = {rep['scaling_efficiency']}** (target >= 0.8: {"PASS" if rep['pass'] else "FAIL"})
+
+Reference single-node ceiling for comparison: ~20 URLs/s/node
+(20 worker threads x >=1s politeness sleep per fetch,
+/root/reference/Cloud/scripts/crawler_worker.py:35,41,149 — see
+BASELINE.md).
+
+Reproduce: `python scripts/scaling_bench.py`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+    if args.cpus:
+        print(json.dumps(run_one(args.cpus)))
+    else:
+        orchestrate()

@@ -1,0 +1,86 @@
+"""Physical-plan quality gates: Catalyst must push filters into the
+parquet scans, prune columns, and pick broadcast joins where we hint
+them.  These assertions are the '.explain and iterate' loop frozen
+into CI so regressions in plan shape fail loudly."""
+
+from pyspark.sql import functions as F
+
+from cloud_based_web_crawling_indexing_system_spark.plans import probes
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    df = probes.registry()["q01_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan must read only the columns the query needs, never all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in read_schema
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+
+
+def test_q03_broadcast_joins(spark):
+    plan = _plan(probes.registry()["q03_region_customer_rollup"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_anti_join_shape(spark):
+    plan = _plan(probes.registry()["q04_customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_q21_semi_search_broadcast(spark):
+    plan = _plan(probes.registry()["q21_search_and"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q27_topk_window_and_broadcast(spark):
+    plan = _plan(probes.registry()["q27_knn_cosine_top5"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_whole_stage_codegen_on_relational_core(spark):
+    df = probes.registry()["q01_pricing_summary"](spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    # '*(n)' marks whole-stage-codegen'd operators; the agg+filter
+    # pipeline must be inside one, and partial aggregation (map-side
+    # combine) must precede the exchange
+    assert "*(1) HashAggregate" in plan and "partial_sum" in plan
+    assert "AQEShuffleRead coalesced" in plan or "Exchange hashpartitioning" in plan
+
+
+def test_crawl_fetch_broadcasts_frontier_not_pages(spark, tiny_corpus, tmp_path):
+    """The fetch join must broadcast the (bounded) admitted frontier and
+    stream the pages corpus — never shuffle pages."""
+    from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+    from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig
+
+    run = CrawlRun(spark, str(tmp_path / "planrun"), CrawlConfig(round_budget_s=1e9))
+    run.init(
+        tiny_corpus["pages"],
+        spark.read.parquet(tiny_corpus["robots"]),
+        spark.read.parquet(tiny_corpus["seeds"]),
+    )
+    run.step()
+    # reconstruct the round-1 fetch plan the engine would build
+    f = run.frontier.read_round(1).drop("round")
+    fetched = run._pages_df.join(F.broadcast(f), "url", "inner")
+    plan = _plan(fetched)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning(url" not in plan
+    # pages scan pruned to exactly (url, html)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" in read_schema and "warc_ts" not in read_schema and "text" not in read_schema
