@@ -449,8 +449,10 @@ class CrawlRun:
                 pool.submit(self.postings.write_round, r, postings_delta),
                 pool.submit(self.texts.write_round, r,
                             parsed.select("url", "text", "index_text")),
+                # repartition (NOT coalesce): coalesce(1) would collapse
+                # the window+anti-join subplan into a single task
                 pool.submit(self.seen.write_round, r + 1,
-                            new_seen.coalesce(max(1, n_parts // 4))),
+                            new_seen.repartition(max(1, n_parts // 4))),
                 pool.submit(self.frontier.write_round, r + 1, next_frontier),
             ]
             for fut in futs:
@@ -537,6 +539,17 @@ class CrawlRun:
 
     def metrics_df(self) -> DataFrame | None:
         return self.metrics.read_all()
+
+    def monitor_df(self) -> DataFrame | None:
+        """§3.3 /monitor equivalent: the latest committed round's
+        global counters plus its per-partition parse lineage — the
+        reference's heartbeat/liveness table reshaped as data
+        (/root/reference/Cloud/scripts/master.py:219-242)."""
+        m = self.metrics.read_all()
+        if m is None:
+            return None
+        last = self.metrics.last_round()
+        return m.where(F.col("round") == last).orderBy("stage", "key", "partition_id")
 
     def postings_df(self) -> DataFrame | None:
         """Current postings state — the MERGE INTO view (A2): deltas
