@@ -26,13 +26,29 @@ __all__ = ["WORD_RE", "tokenize", "stem_tokens", "term_freqs"]
 
 WORD_RE = re.compile(r"\w+")
 
+# Per-process stem memo: Porter stemming is a pure function and real
+# corpora have vocabulary ≪ token count (Zipf), so memoizing turns the
+# hot loop into dict lookups.  Capped to bound worker memory; persists
+# across Arrow batches because pandas-UDF workers are reused.
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1_000_000
+
+
+def _stem_cached(w: str) -> str:
+    s = _STEM_CACHE.get(w)
+    if s is None:
+        s = porter_stem(w)
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[w] = s
+    return s
+
 
 def tokenize(text: str) -> list[str]:
     return WORD_RE.findall(text.lower())
 
 
 def stem_tokens(tokens: list[str]) -> list[str]:
-    return [porter_stem(w) for w in tokens]
+    return [_stem_cached(w) for w in tokens]
 
 
 def term_freqs(text: str) -> list[tuple[str, int]]:
