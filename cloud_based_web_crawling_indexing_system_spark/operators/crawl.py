@@ -9,7 +9,7 @@ round-by-round BFS where each round is:
   frontier(r)
     ⨝ broadcast(robots)  -> can_fetch gate (F6) + delay (C1)
     -> politeness token-bucket window (admit/defer)
-    ⨝ pages on url (left) = "fetch" (J2); miss -> tries+1 retry (C2/F9)
+    pages ⨝ broadcast(admitted) = "fetch" (J2); miss -> tries+1 retry (C2/F9)
     -> parse_page UDF: text P2, index_text P3∘P2, links P1/F4 (one parse)
     -> scheme/domain filters F2/F3, depth gate F5
     -> seen dedup: bloom prefilter + exact anti-join + in-batch window (D1/D2)
@@ -24,7 +24,7 @@ Determinism: ordering keys are content-derived only — canonical row
 order (host_hash, depth, url), in-batch dedup winner
 (parent_host_hash, parent_depth, parent_url, link_pos) — so results
 are identical at any parallelism level (verified by
-tests/test_parallelism.py) and equal to the sequential oracle
+tests/test_resume_and_invariance.py) and equal to the sequential oracle
 (oracle.py, verified by tests/test_crawl_vs_oracle.py).
 """
 
@@ -304,6 +304,12 @@ class CrawlRun:
         admitted = decided.where(F.col("admitted"))
         deferred = decided.where(~F.col("admitted")).select(*FRONTIER_COLS)
 
+        if n_admitted == 0:
+            # fast path: nothing passed robots+politeness this round —
+            # no fetch/parse/index subplans, just roll the deferrals.
+            return self._commit_empty_round(r, deferred, n_in, n_blocked,
+                                            n_deferred, f2, decided, prof, _mark, t0)
+
         # fetch (J2): stream the pages corpus past a BROADCAST of the
         # admitted frontier (inner join, pages never shuffled); misses
         # via column-pruned anti-join on pages.url only.  Falls back to
@@ -426,6 +432,9 @@ class CrawlRun:
                 "seed_idx",
             )
         )
+        # persisted so the concurrent seen(r+1) and frontier(r+1) writes
+        # share ONE evaluation of the anti-join + dedup window
+        new_children.persist()
 
         next_frontier = deferred.unionByName(retry).unionByName(new_children)
         # cluster the next round by host so the politeness window and
@@ -460,10 +469,11 @@ class CrawlRun:
         t0 = _mark("commit", t0)
 
         # metrics incl. per-partition lineage (C6/A3, north_rule);
-        # derived counts come from committed parquet footers (free)
-        n_new = self.seen.read_round(r + 1).count()  # footer metadata
-        n_next = self.frontier.read_round(r + 1).count()  # footer metadata
-        n_postings = self.postings.read_round(r).count()  # footer metadata
+        # derived counts come straight from committed parquet footers
+        # via pyarrow — driver-side metadata reads, zero Spark jobs
+        n_new = self.seen.count_round(r + 1)
+        n_next = self.frontier.count_round(r + 1)
+        n_postings = self.postings.count_round(r)
         n_retry = n_next - n_deferred - n_new
         n_failed = (n_admitted - n_fetched) - n_retry
         part_stats = (
@@ -489,15 +499,17 @@ class CrawlRun:
             ],
             schema=_METRICS_SCHEMA,
         )
-        self.metrics.write_round(r, glob.unionByName(part_stats))
+        self.metrics.write_round(
+            r, glob.unionByName(part_stats) if n_fetched else glob
+        )
 
-        if self._bloom is not None:
+        if self._bloom is not None and n_new:
             # feed the bloom from the committed seen snapshot (single
             # cheap re-read, no recomputation of the dedup subplan)
             self._bloom.add_positions_df(self.seen.read_round(r + 1))
         t0 = _mark("metrics_bloom", t0)
 
-        for df in (f2, decided, parsed, cand):
+        for df in (f2, decided, parsed, cand, new_children):
             df.unpersist()
 
         out = {
@@ -505,6 +517,45 @@ class CrawlRun:
             "n_fetched": n_fetched, "n_missed": n_retry, "n_failed": n_failed,
             "n_disc": n_disc, "n_new": n_new, "n_indexed": n_fetched,
             "n_postings": n_postings, "done": False,
+        }
+        if os.environ.get("CBWCIS_PROFILE"):
+            out["profile"] = prof
+        return out
+
+    def _commit_empty_round(self, r, deferred, n_in, n_blocked, n_deferred,
+                            f2, decided, prof, _mark, t0) -> dict:
+        """Commit a round in which nothing was admitted (all blocked or
+        deferred): empty postings/texts/seen, frontier(r+1)=deferrals."""
+        spark = self.spark
+        empty_postings = spark.createDataFrame(
+            [], "term string, job_id string, url string, url_hash string, frequency long"
+        )
+        empty_texts = spark.createDataFrame([], "url string, text string, index_text string")
+        empty_seen = spark.createDataFrame([], "url_hash string, url string, first_round int")
+        self.postings.write_round(r, empty_postings.coalesce(1))
+        self.texts.write_round(r, empty_texts.coalesce(1))
+        self.seen.write_round(r + 1, empty_seen.coalesce(1))
+        self.frontier.write_round(r + 1, deferred.repartition(1, "host_hash"))
+        t0 = _mark("commit", t0)
+        glob = spark.createDataFrame(
+            [
+                (r, -1, "round", k, int(v))
+                for k, v in [
+                    ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
+                    ("n_fetched", 0), ("n_missed", 0), ("n_failed", 0), ("n_disc", 0),
+                    ("n_new", 0), ("n_indexed", 0), ("n_postings", 0),
+                ]
+            ],
+            schema=_METRICS_SCHEMA,
+        )
+        self.metrics.write_round(r, glob)
+        t0 = _mark("metrics_bloom", t0)
+        for df in (f2, decided):
+            df.unpersist()
+        out = {
+            "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
+            "n_fetched": 0, "n_missed": 0, "n_failed": 0, "n_disc": 0, "n_new": 0,
+            "n_indexed": 0, "n_postings": 0, "done": False,
         }
         if os.environ.get("CBWCIS_PROFILE"):
             out["profile"] = prof

@@ -76,6 +76,18 @@ class RoundTable:
             json.dump(marker, f)
         os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))  # atomic
 
+    def count_round(self, rnd: int) -> int:
+        """Row count from parquet footers via pyarrow — pure driver-side
+        metadata reads, no Spark job."""
+        import pyarrow.parquet as pq
+
+        rd = self._round_dir(rnd)
+        total = 0
+        for f in os.listdir(rd):
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(rd, f)).num_rows
+        return total
+
     def read_round(self, rnd: int) -> DataFrame:
         from pyspark.sql import functions as F
 
