@@ -257,6 +257,9 @@ class CrawlRun:
         assert self.frontier.last_round() is not None, "call init() first"
 
         t0 = _time.time()
+        n_in = self.frontier.count_round(r)  # parquet footers, no job
+        if n_in == 0:
+            return {"round": r, "n_in": 0, "done": True}
         f = self.frontier.read_round(r).drop("round")
         # robots gate + politeness budget — broadcast join on host (J3)
         rob = self._robots_df
@@ -278,11 +281,7 @@ class CrawlRun:
             .drop("robots_txt")
         )
         f2.persist()
-        n_in = f2.count()
         t0 = _mark("robots", t0)
-        if n_in == 0:
-            f2.unpersist()
-            return {"round": r, "n_in": 0, "done": True}
 
         passing = f2.where(F.col("allowed"))
         if cfg.politeness:
@@ -476,32 +475,22 @@ class CrawlRun:
         n_postings = self.postings.count_round(r)
         n_retry = n_next - n_deferred - n_new
         n_failed = (n_admitted - n_fetched) - n_retry
-        part_stats = (
-            parsed.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("value"))
-            .select(
-                F.lit(r).alias("round"),
-                "partition_id",
-                F.lit("parse").alias("stage"),
-                F.lit("n_parsed").alias("key"),
-                "value",
-            )
-        )
-        glob = self.spark.createDataFrame(
-            [
-                (r, -1, "round", k, int(v))
-                for k, v in [
-                    ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
-                    ("n_fetched", n_fetched), ("n_missed", n_retry), ("n_failed", n_failed),
-                    ("n_disc", n_disc), ("n_new", n_new), ("n_indexed", n_fetched),
-                    ("n_postings", n_postings),
-                ]
-            ],
-            schema=_METRICS_SCHEMA,
-        )
-        self.metrics.write_round(
-            r, glob.unionByName(part_stats) if n_fetched else glob
-        )
+        # per-partition parse lineage for free: the texts round was
+        # written one file per parse partition, so its parquet footers
+        # ARE the per-partition row counts
+        rows = [
+            (r, -1, "round", k, int(v))
+            for k, v in [
+                ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
+                ("n_fetched", n_fetched), ("n_missed", n_retry), ("n_failed", n_failed),
+                ("n_disc", n_disc), ("n_new", n_new), ("n_indexed", n_fetched),
+                ("n_postings", n_postings),
+            ]
+        ] + [
+            (r, pid, "parse", "n_parsed", int(n))
+            for pid, n in enumerate(self.texts.file_row_counts(r))
+        ]
+        self._write_metrics(r, rows)
 
         if self._bloom is not None and n_new:
             # feed the bloom from the committed seen snapshot (single
@@ -522,22 +511,55 @@ class CrawlRun:
             out["profile"] = prof
         return out
 
+    def _write_metrics(self, r: int, rows: list[tuple]) -> None:
+        """Metrics are ~dozens of rows — written driver-side with
+        pyarrow (write_round_pandas), zero Spark jobs; this is also the
+        round-done marker so it must stay the LAST commit."""
+        import pyarrow as pa
+
+        pdf = pd.DataFrame(rows, columns=["round", "partition_id", "stage", "key", "value"])
+        schema = pa.schema(
+            [
+                ("round", pa.int32()),
+                ("partition_id", pa.int32()),
+                ("stage", pa.string()),
+                ("key", pa.string()),
+                ("value", pa.int64()),
+            ]
+        )
+        pdf = pdf.astype({"round": "int32", "partition_id": "int32", "value": "int64"})
+        self.metrics.write_round_pandas(r, pdf, schema)
+
     def _commit_empty_round(self, r, deferred, n_in, n_blocked, n_deferred,
                             f2, decided, prof, _mark, t0) -> dict:
         """Commit a round in which nothing was admitted (all blocked or
         deferred): empty postings/texts/seen, frontier(r+1)=deferrals."""
-        spark = self.spark
-        empty_postings = spark.createDataFrame(
-            [], "term string, job_id string, url string, url_hash string, frequency long"
+        import pyarrow as pa
+
+        # empty round payloads written driver-side (no Spark jobs)
+        self.postings.write_round_pandas(
+            r,
+            pd.DataFrame(columns=["term", "job_id", "url", "url_hash", "frequency"]),
+            pa.schema([("term", pa.string()), ("job_id", pa.string()),
+                       ("url", pa.string()), ("url_hash", pa.string()),
+                       ("frequency", pa.int64())]),
         )
-        empty_texts = spark.createDataFrame([], "url string, text string, index_text string")
-        empty_seen = spark.createDataFrame([], "url_hash string, url string, first_round int")
-        self.postings.write_round(r, empty_postings.coalesce(1))
-        self.texts.write_round(r, empty_texts.coalesce(1))
-        self.seen.write_round(r + 1, empty_seen.coalesce(1))
+        self.texts.write_round_pandas(
+            r,
+            pd.DataFrame(columns=["url", "text", "index_text"]),
+            pa.schema([("url", pa.string()), ("text", pa.string()),
+                       ("index_text", pa.string())]),
+        )
+        self.seen.write_round_pandas(
+            r + 1,
+            pd.DataFrame(columns=["url_hash", "url", "first_round"]),
+            pa.schema([("url_hash", pa.string()), ("url", pa.string()),
+                       ("first_round", pa.int32())]),
+        )
         self.frontier.write_round(r + 1, deferred.repartition(1, "host_hash"))
         t0 = _mark("commit", t0)
-        glob = spark.createDataFrame(
+        self._write_metrics(
+            r,
             [
                 (r, -1, "round", k, int(v))
                 for k, v in [
@@ -546,9 +568,7 @@ class CrawlRun:
                     ("n_new", 0), ("n_indexed", 0), ("n_postings", 0),
                 ]
             ],
-            schema=_METRICS_SCHEMA,
         )
-        self.metrics.write_round(r, glob)
         t0 = _mark("metrics_bloom", t0)
         for df in (f2, decided):
             df.unpersist()

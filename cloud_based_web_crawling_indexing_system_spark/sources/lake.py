@@ -76,6 +76,36 @@ class RoundTable:
             json.dump(marker, f)
         os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))  # atomic
 
+    def write_round_pandas(self, rnd: int, pdf, schema) -> None:
+        """Driver-side replace-write for TINY round payloads (metrics):
+        one pyarrow file, no Spark job at all."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rd = self._round_dir(rnd)
+        if os.path.isdir(rd):
+            shutil.rmtree(rd)
+        os.makedirs(rd, exist_ok=True)
+        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(rd, "part-00000.parquet"))
+        os.makedirs(self._commit_dir, exist_ok=True)
+        tmp = os.path.join(self._commit_dir, f".{rnd:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, "ts": time.time()}, f)
+        os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))
+
+    def file_row_counts(self, rnd: int) -> list[int]:
+        """Per-file (== per-writing-partition) row counts from parquet
+        footers — free per-partition lineage."""
+        import pyarrow.parquet as pq
+
+        rd = self._round_dir(rnd)
+        return [
+            pq.read_metadata(os.path.join(rd, f)).num_rows
+            for f in sorted(os.listdir(rd))
+            if f.endswith(".parquet")
+        ]
+
     def count_round(self, rnd: int) -> int:
         """Row count from parquet footers via pyarrow — pure driver-side
         metadata reads, no Spark job."""
