@@ -631,3 +631,10 @@ class CrawlRun:
         return deltas.groupBy("term", "job_id", "url", "url_hash").agg(
             F.sum("frequency").alias("frequency")
         )
+
+    def search(self, query: str, limit: int | None = None) -> DataFrame:
+        """The reference's GET /search (§2.8 grammar) over the current
+        postings state."""
+        from ..plans.search_query import compile_search
+
+        return compile_search(self.spark, self.postings_df(), query, limit=limit)

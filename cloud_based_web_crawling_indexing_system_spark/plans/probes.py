@@ -883,6 +883,22 @@ def q28(spark, sf_dir):
 _STOPWORDS = ("the", "a")
 
 
+@probe("q33_srp_ann_topk")  # rows-only: SRP-LSH bucketing is not SQL-expressible
+def q33(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours — the scale path for
+    similarity search: bucket equi-join replaces the cross join.  The
+    exact counterpart (and its DuckDB oracle) is q27; ANN recall vs
+    exact is asserted in tests/test_pipeline_ops.py."""
+    from ..functions.simsearch import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = ann_topk(e, q, k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 @probe(
     "q29_doc_quality",
     f"""

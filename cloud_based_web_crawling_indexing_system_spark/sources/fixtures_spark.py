@@ -145,7 +145,7 @@ def write_corpus_spark(
                 hrefs: list[str] = []
                 # hub root + next-chain + random same-host + cross-host
                 if pi == 0 and sz > 1:
-                    hrefs += [_path(dis[hi], j) for j in range(1, min(sz, 40))]
+                    hrefs += [_path(dis[hi], j) for j in range(1, min(sz, 80))]
                 if pi + 1 < sz:
                     hrefs.append(_path(dis[hi], pi + 1))
                 for _ in range(rng.randint(2, 6)):

@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 CORPUS = os.path.join(REPO, ".cache", "scaling_corpus")
 N_HOSTS = int(os.environ.get("SCALING_HOSTS", "400"))
-N_PAGES = int(os.environ.get("SCALING_PAGES", "150000"))
+N_PAGES = int(os.environ.get("SCALING_PAGES", "200000"))
 
 
 def ensure_corpus() -> None:
@@ -41,7 +41,8 @@ def ensure_corpus() -> None:
                       shuffle_partitions=64)
     t0 = time.time()
     write_corpus_spark(spark, CORPUS, n_hosts=N_HOSTS, n_pages=N_PAGES, seed=42,
-                       para_words=(60, 160), n_paras=(4, 10), p_dangling=0.03)
+                       para_words=(100, 220), n_paras=(6, 12), p_dangling=0.0,
+                       n_seed_jobs=8)
     print(f"corpus generated in {time.time()-t0:.1f}s", file=sys.stderr)
     spark.stop()
 
