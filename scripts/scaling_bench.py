@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 CORPUS = os.path.join(REPO, ".cache", "scaling_corpus")
 N_HOSTS = int(os.environ.get("SCALING_HOSTS", "400"))
-N_PAGES = int(os.environ.get("SCALING_PAGES", "200000"))
+N_PAGES = int(os.environ.get("SCALING_PAGES", "240000"))
 
 
 def ensure_corpus() -> None:
@@ -63,7 +63,27 @@ def run_one(cpus: int) -> dict:
             "spark.ui.showConsoleProgress": "false",
         },
     )
-    spark.range(1000).count()
+    # warm the JVM (JIT), python UDF workers, Arrow path, and shuffle
+    # machinery BEFORE the clock starts — warmup cost is identical at
+    # every width and would otherwise read as non-scaling overhead
+    from pyspark.sql import functions as F
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.udfs import (
+        parse_page_udf,
+        term_freqs_udf,
+    )
+
+    warm = spark.read.parquet(os.path.join(CORPUS, "pages.parquet")).limit(2000)
+    (
+        warm.withColumn("p", parse_page_udf("html", "url"))
+        .withColumn("t", term_freqs_udf("p.index_text"))
+        .select(F.explode("t.terms").alias("term"))
+        .groupBy("term")
+        .count()
+        .count()
+    )
+    spark.range(100000).repartition(8, "id").count()
+
     wd = os.path.join(REPO, ".cache", f"scaling_run_{cpus}")
     if os.path.isdir(wd):
         shutil.rmtree(wd)
