@@ -187,6 +187,12 @@ class CrawlRun:
         unseen urls into the NEXT round's frontier at the given depth."""
         rnd = self.frontier.last_round()
         assert rnd is not None, "init first"
+        last_done = self.metrics.last_round()
+        expected = 0 if last_done is None else last_done + 1
+        assert rnd == expected, (
+            "add_seeds must run between completed rounds (a crashed "
+            "round is pending replay; run step() first)"
+        )
         from ..functions.urlnorm import host_hash31, url_md5
 
         cur = self.frontier.read_round(rnd).drop("round")

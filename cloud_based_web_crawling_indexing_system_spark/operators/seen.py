@@ -53,16 +53,37 @@ class BloomSeen:
         self.bits = np.zeros(m_bits, dtype=bool)
         self._bc = None
 
+    N_SHARDS = 64
+
     def add_positions_df(self, df: DataFrame, url_hash_col: str = "url_hash") -> None:
-        """Aggregate the k positions of every row JVM-side, collect the
-        (bounded-by-m) distinct position set, OR it into the bit array."""
-        pos = (
-            df.select(F.explode(F.array(*position_cols(url_hash_col, self.m))).alias("p"))
-            .distinct()
-            .collect()
-        )
-        if pos:
-            self.bits[np.fromiter((r.p for r in pos), dtype=np.int64)] = True
+        """OR the new rows into the bit array WITHOUT shipping raw
+        positions to the driver: positions are sharded, each shard's
+        partial bitmap is packed executor-side (applyInPandas), and the
+        driver collects at most N_SHARDS fixed-size byte arrays —
+        O(m/8) bytes total regardless of row count, so the update cost
+        scales out with executors instead of serializing on the
+        driver."""
+        import pandas as pd
+
+        m = self.m
+        shard_size = m // self.N_SHARDS  # m is a power of two
+
+        pos = df.select(
+            F.explode(F.array(*position_cols(url_hash_col, m))).alias("p")
+        ).withColumn("shard", (F.col("p") / F.lit(shard_size)).cast("int"))
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            local = np.zeros(shard_size, dtype=bool)
+            local[pdf["p"].to_numpy(dtype=np.int64) - shard * shard_size] = True
+            return pd.DataFrame({"shard": [shard], "bits": [np.packbits(local).tobytes()]})
+
+        rows = pos.groupBy("shard").applyInPandas(pack, "shard int, bits binary").collect()
+        for r in rows:
+            s = r["shard"]
+            self.bits[s * shard_size : (s + 1) * shard_size] |= np.unpackbits(
+                np.frombuffer(r["bits"], dtype=np.uint8)
+            ).astype(bool)
         self._bc = None  # invalidate broadcast
 
     def _broadcast(self):

@@ -115,6 +115,15 @@ def run_one(cpus: int) -> dict:
 PAIRS = [(2, 8), (8, 32)]  # primary N-vs-4N pair first
 
 
+def _ceiling_work(n: int) -> int:
+    from cloud_based_web_crawling_indexing_system_spark.functions.terms import term_freqs
+
+    text = " ".join(["running jumps relational conditional crawling indexing"] * 80)
+    for _ in range(n):
+        term_freqs(text)
+    return 1
+
+
 def machine_ceiling(lo: int, hi: int) -> float:
     """Hardware ceiling for this N-vs-4N pair, measured with plain
     multiprocessing on the same per-row kernel the engine's hottest
@@ -123,19 +132,11 @@ def machine_ceiling(lo: int, hi: int) -> float:
     import multiprocessing as mp
     import time as _t
 
-    def work(n):
-        from cloud_based_web_crawling_indexing_system_spark.functions.terms import term_freqs
-
-        text = " ".join(["running jumps relational conditional crawling indexing"] * 80)
-        for _ in range(n):
-            term_freqs(text)
-        return 1
-
     thr = {}
     for procs in (lo, hi):
         t0 = _t.time()
         with mp.Pool(procs) as p:
-            p.map(work, [120] * procs)
+            p.map(_ceiling_work, [120] * procs)
         thr[procs] = procs / (_t.time() - t0)
     return (thr[hi] / thr[lo]) / (hi / lo)
 
