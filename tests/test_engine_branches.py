@@ -1,0 +1,74 @@
+"""Coverage for the engine's alternate execution branches:
+
+- ``canonicalization='full'``: RFC3986 canonicalization of every
+  discovered URL (scale mode) — engine must still match the oracle
+  running the same mode;
+- ``broadcast_fetch_rows=0``: forces the shuffled left-join fetch
+  path (the fallback for rounds too big to broadcast) — results must
+  be identical to the broadcast path.
+"""
+
+import pandas as pd
+import pytest
+
+from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig, crawl_oracle
+from cloud_based_web_crawling_indexing_system_spark.sources.fixtures import write_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus_branches")
+    return write_corpus(str(d), scale="tiny", seed=11, n_hosts=6, n_pages=70)
+
+
+def _run(spark, root, corpus, cfg):
+    run = CrawlRun(spark, str(root), cfg)
+    run.init(
+        corpus["pages"],
+        spark.read.parquet(corpus["robots"]),
+        spark.read.parquet(corpus["seeds"]),
+    )
+    run.run()
+    return run
+
+
+def _snap(run):
+    seen = sorted((r["url_hash"], r["url"]) for r in run.seen_df().collect())
+    texts = sorted((r["url"], r["index_text"]) for r in run.texts_df().collect())
+    return seen, texts
+
+
+def test_full_canonicalization_matches_oracle(spark, corpus, tmp_path):
+    cfg = CrawlConfig(round_budget_s=1e9, canonicalization="full")
+    run = _run(spark, tmp_path / "full", corpus, cfg)
+    oracle = crawl_oracle(
+        pd.read_parquet(corpus["pages"]),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        cfg,
+    )
+    got_seen = {r["url_hash"]: (r["url"], r["first_round"]) for r in run.seen_df().collect()}
+    assert got_seen == oracle.seen
+    got_texts = {r["url"]: r["index_text"] for r in run.texts_df().collect()}
+    assert set(got_texts) == set(oracle.texts)
+    for url, b in oracle.texts.items():
+        assert got_texts[url].encode("utf-8") == b
+    # full mode actually canonicalized something (scheme/www folds,
+    # sorted queries) — urls differ from reference mode somewhere
+    ref = crawl_oracle(
+        pd.read_parquet(corpus["pages"]),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        CrawlConfig(round_budget_s=1e9),
+    )
+    assert set(oracle.seen.keys()) != set(ref.seen.keys()) or len(oracle.seen) <= len(ref.seen)
+
+
+def test_shuffled_fetch_fallback_identical(spark, corpus, tmp_path):
+    base = _run(spark, tmp_path / "bcast", corpus, CrawlConfig(round_budget_s=1e9))
+    forced = _run(
+        spark, tmp_path / "shuffled", corpus,
+        CrawlConfig(round_budget_s=1e9, broadcast_fetch_rows=0),
+    )
+    assert _snap(base) == _snap(forced)
