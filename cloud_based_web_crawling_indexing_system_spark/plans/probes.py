@@ -561,7 +561,8 @@ def q20(spark, sf_dir):
     "q21_search_and",
     f"""
     {_POSTINGS_CTE}
-    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, SUM(freq) AS frequency
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(SUM(freq) AS BIGINT) AS frequency
     FROM postings WHERE term IN ('data', 'vector', 'window')
     GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
     ORDER BY frequency DESC, url ASC
@@ -588,7 +589,8 @@ def q21(spark, sf_dir):
     "q22_search_or_not",
     f"""
     {_POSTINGS_CTE}
-    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, SUM(freq) AS frequency
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(SUM(freq) AS BIGINT) AS frequency
     FROM postings
     WHERE term IN ('merge', 'stream')
       AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term IN ('slow'))
@@ -883,19 +885,55 @@ def q28(spark, sf_dir):
 _STOPWORDS = ("the", "a")
 
 
-@probe("q33_srp_ann_topk")  # rows-only: SRP-LSH bucketing is not SQL-expressible
+def _srp_bucket_sql(n_planes: int, dim: int) -> str:
+    """The SRP bucket as DuckDB SQL: the hyperplanes are deterministic
+    md5-derived ±1 literals (functions/simsearch.srp_planes), so the
+    exact bucketing is SQL-expressible — emit them as literal arrays."""
+    from ..functions.simsearch import srp_planes
+
+    parts = []
+    for p, coeffs in enumerate(srp_planes(dim, n_planes)):
+        arr = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in coeffs) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+@probe(
+    "q33_srp_ann_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_srp_bucket_sql(4, 64)} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_COS} AS cos
+      FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM pairs)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
 def q33(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours — the scale path for
     similarity search: bucket equi-join replaces the cross join.  The
-    exact counterpart (and its DuckDB oracle) is q27; ANN recall vs
-    exact is asserted in tests/test_pipeline_ops.py."""
+    exact counterpart is q27; ANN recall vs exact is asserted in
+    tests/test_pipeline_ops.py."""
     from ..functions.simsearch import ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = ann_topk(e, q, k=5, n_planes=4, dim=64)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("long").alias("rk"),
     ).orderBy("query_id", "rk")
 
 

@@ -87,7 +87,7 @@ def compile_search_sql(postings_table: str, raw: str, limit: int | None = None) 
         )
     lim = f" LIMIT {limit}" if limit else ""
     return (
-        f"SELECT url, SUM(frequency) AS frequency FROM {postings_table} "
+        f"SELECT url, CAST(SUM(frequency) AS BIGINT) AS frequency FROM {postings_table} "
         f"WHERE term IN ({in_list}){ex_clause} "
         f"GROUP BY url HAVING {having} "
         f"ORDER BY frequency DESC, url ASC{lim}"
