@@ -11,9 +11,14 @@
   turns the O(N·Q) cross join into a bucket-partitioned join — the
   same shuffle-avoidance shape as the crawl's host-partitioned
   politeness.
-- ``ivf_assign`` / ``ivf_topk``: IVF variant with deterministic
-  centroids (first-k normalized vectors); probe `nprobe` nearest
-  cells only.
+- ``ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``: IVF variant with
+  deterministic centroids (the first-k vectors by id — cosine is
+  scale-invariant, so they are used unnormalized).  The centroid set
+  is the "model": k·dim floats collected once to the driver (fixed
+  size, independent of N) and inlined as literal expressions, so cell
+  assignment is a zero-shuffle narrow map; the ANN query joins the
+  (query, probed-cell) fan-out — Q·nprobe rows, broadcast — against
+  the cell-assigned corpus and re-ranks exactly within candidates.
 """
 
 from __future__ import annotations
@@ -23,7 +28,17 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_expr", "brute_force_topk", "srp_planes", "srp_lsh_buckets", "ann_topk"]
+__all__ = [
+    "cosine_expr",
+    "brute_force_topk",
+    "srp_planes",
+    "srp_lsh_buckets",
+    "ann_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_probe_cells",
+    "ivf_topk",
+]
 
 
 def _dot(a: str, b: str) -> Column:
@@ -93,6 +108,110 @@ def srp_lsh_buckets(
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.withColumn("bucket", bucket.cast("int"))
+
+
+def _lit_vec(vals: list[float]) -> str:
+    # repr() round-trips IEEE doubles exactly, so the literal array is
+    # bit-identical to the collected centroid in any engine.
+    return "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _cos_lit(vec_col: str, vals: list[float]) -> Column:
+    """cosine(vec_col, literal centroid) — same sequential-fold dot
+    product as cosine_expr; the centroid norm is a Python-side constant
+    (same left-to-right double adds as an engine-side fold)."""
+    arr = _lit_vec(vals)
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nc = 0.0
+    for v in vals:
+        nc += float(v) * float(v)
+    return dot / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(F.lit(nc)))
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic centroids: the first ``n_cells`` vectors by id.
+    This is the model-fit step — a fixed k-row collect (k·dim floats),
+    independent of corpus size."""
+    rows = embeddings.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cell`` = argmax-cosine centroid id.  Pure expression
+    (greatest over (cosine, -cell) structs): zero shuffle, whole-stage
+    codegen, ties break to the lowest cell id."""
+    packed = [
+        F.struct(_cos_lit(vec_col, c).alias("s"), F.lit(-i).alias("nc"))
+        for i, c in enumerate(centroids)
+    ]
+    best = packed[0] if len(packed) == 1 else F.greatest(*packed)
+    return embeddings.withColumn("cell", (-best["nc"]).cast("int"))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, q_vec, cell) for the ``nprobe`` nearest cells per
+    query — sort_array over (cosine, -cell) structs, sliced, exploded.
+    Output is Q·nprobe rows: the broadcast side of the ANN join."""
+    entries = F.array(
+        *[
+            F.struct(_cos_lit(vec_col, c).alias("s"), F.lit(-i).alias("nc"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(top).alias("e"),
+    ).select("query_id", "q_vec", (-F.col("e.nc")).cast("int").alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates = corpus rows in the query's ``nprobe``
+    nearest cells; exact cosine re-rank within.  Replaces the O(N·Q)
+    cross join with a broadcast equi-join on ``cell`` whose corpus
+    side scans each row once — the inverted-file shape of FAISS-IVF,
+    expressed as DataFrame ops."""
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    cells = ivf_assign(embeddings, cents, vec_col)
+    probes = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
+    pairs = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_vec", vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rk")
+    )
 
 
 def ann_topk(

@@ -795,11 +795,17 @@ def q26(spark, sf_dir):
 # similarity search over embeddings
 # =====================================================================
 
-_COS = """
-  list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-  (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-   sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
-"""
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two vector column refs (same IEEE op
+    sequence as functions.simsearch.cosine_expr's fold)."""
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+_COS = _cos_sql("q.embedding", "e.embedding")
 
 
 def _cosine_expr(a: str, b: str):
@@ -929,6 +935,54 @@ def q33(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = ann_topk(e, q, k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("query_id", "rk")
+
+
+@probe(
+    "q34_ivf_ann_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                         c.cell_id ASC) AS r
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assign WHERE r = 1),
+    probed AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cell_id
+      FROM assign WHERE vec_id < 5 AND r <= 2),
+    pairs AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('p.q_vec', 'e.embedding')} AS cos
+      FROM probed p JOIN cells e USING (cell_id)
+      WHERE e.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM pairs)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def q34(spark, sf_dir):
+    """IVF ANN (FAISS-IVF shape): deterministic first-k centroids,
+    zero-shuffle expression argmax cell assignment, nprobe=2 probe
+    fan-out broadcast-joined on cell, exact cosine re-rank within.
+    The oracle recomputes the identical centroids/cells in SQL."""
+    from ..functions.simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_topk(e, q, k=5, n_cells=8, nprobe=2)
     return out.select(
         "query_id",
         "neighbor_id",

@@ -75,6 +75,41 @@ def test_brute_force_vs_ann_recall(spark):
     assert planes == srp_planes(4, 8) and all(v in (1.0, -1.0) for row in planes for v in row)
 
 
+def test_ivf_recall_and_determinism(spark):
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = ivf_topk(emb, queries, k=10, n_cells=8, nprobe=2)
+    rows = approx.collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert ap and len(ex & ap) > 0  # recall@10 > 0 with 8 cells / nprobe 2
+
+    # probing more cells can only improve recall (monotone in nprobe)
+    wider = ivf_topk(emb, queries, k=10, n_cells=8, nprobe=8)
+    wd = {(r["query_id"], r["neighbor_id"]) for r in wider.collect()}
+    assert len(ex & wd) >= len(ex & ap)
+    # nprobe = n_cells probes every cell -> candidates = whole corpus
+    # minus nothing -> exact recall
+    assert wd == ex
+
+    # determinism: centroids and assignment are reproducible
+    c1 = ivf_centroids(emb, n_cells=8)
+    c2 = ivf_centroids(emb, n_cells=8)
+    assert c1 == c2 and len(c1) == 8 and len(c1[0]) == 64
+    a1 = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(emb, c1).select("vec_id", "cell").collect())
+    a2 = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(emb, c2).select("vec_id", "cell").collect())
+    assert a1 == a2
+    assert all(0 <= cell < 8 for _, cell in a1)
+
+
 def test_multimodal_decode_and_frames(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
     media = attach_blob(docs, "text", "doc_id", kind="video")
