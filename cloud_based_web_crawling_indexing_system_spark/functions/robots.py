@@ -28,20 +28,28 @@ AGENT = "*"  # Cloud path checks can_fetch("*", url)
 
 
 class RobotsRules:
-    """Parsed rules for one host."""
+    """Parsed rules for one host.
 
-    __slots__ = ("_rp", "delay")
+    ``crawl_delay`` is the RAW robots value (None when absent — or
+    explicitly 0, preserving the reference's ``or`` quirk); the
+    configured default (CrawlConfig.default_delay, the reference DELAY
+    env) is applied by the caller so the knob is honored uniformly by
+    oracle and engine.  ``delay`` keeps the module-default fallback
+    for callers without a config."""
+
+    __slots__ = ("_rp", "delay", "crawl_delay")
 
     def __init__(self, robots_txt: str | None):
         if robots_txt is None:
-            # failed fetch -> allow-all, default delay
+            # failed fetch -> allow-all, no robots delay
             self._rp = None
-            self.delay = DEFAULT_DELAY
+            self.crawl_delay = None
         else:
             rp = RobotFileParser()
             rp.parse(robots_txt.splitlines())
             self._rp = rp
-            self.delay = rp.crawl_delay(AGENT) or DEFAULT_DELAY
+            self.crawl_delay = rp.crawl_delay(AGENT) or None
+        self.delay = self.crawl_delay or DEFAULT_DELAY
 
     def can_fetch(self, url: str) -> bool:
         if self._rp is None:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .htmltext import extract_links, extract_text_crawl, extract_text_index
-from .robots import RobotsRules, DEFAULT_DELAY
+from .robots import RobotsRules
 from .terms import term_freqs
 from .urlnorm import canonicalize_full, host_hash31, split_url, url_md5
 
@@ -137,13 +137,18 @@ def can_fetch_udf(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def robots_delay_udf(robots_txt: pd.Series) -> pd.Series:
-    """crawl_delay('*') or 1.0 — including the reference's quirk that
-    an explicit 0 falls back to the default (crawler_worker.py:149)."""
+    """Raw crawl_delay('*'), NULL when absent — including the
+    reference's quirk that an explicit 0 counts as absent
+    (crawler_worker.py:149's ``or``).  The caller coalesces NULL to
+    CrawlConfig.default_delay (the reference DELAY env knob), so the
+    configured default reaches hosts whose robots lack a crawl-delay,
+    not just hosts with no robots at all."""
     cache: dict = {}
     out = []
     for txt in robots_txt:
-        out.append(float(_rules_cache_lookup(cache, txt).delay) if txt is not None else DEFAULT_DELAY)
-    return pd.Series(out)
+        cd = _rules_cache_lookup(cache, txt).crawl_delay if txt is not None else None
+        out.append(float(cd) if cd is not None else None)
+    return pd.Series(out, dtype="float64")
 
 
 _URL_META_SCHEMA = T.StructType(

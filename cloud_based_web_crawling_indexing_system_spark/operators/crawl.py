@@ -193,18 +193,31 @@ class CrawlRun:
             "add_seeds must run between completed rounds (a crashed "
             "round is pending replay; run step() first)"
         )
-        from ..functions.urlnorm import host_hash31, url_md5
+        from ..functions.urlnorm import canonicalize_full, host_hash31, url_md5
 
         cur = self.frontier.read_round(rnd).drop("round")
         seen_df = self.seen.read_all()
         rows = []
+        batch_hashes: set[str] = set()
         for u in new_urls:
-            host = urlparse(u).netloc
+            # same canonicalization + order-preserving in-batch dedup
+            # as init(): a url passed twice in one call enters once
+            # (the Local master's visited-set check, Local/master.py:43-46)
+            url = canonicalize_full(u) if self.cfg.canonicalization == "full" else u
+            h = url_md5(url)
+            if h in batch_hashes:
+                continue
+            batch_hashes.add(h)
+            host = urlparse(url).netloc
             rows.append(
-                {"job_id": job_id, "url": u, "url_hash": url_md5(u), "host": host,
+                {"job_id": job_id, "url": url, "url_hash": h, "host": host,
                  "host_hash": host_hash31(host), "depth": depth, "tries": 0, "seed_idx": -1}
             )
-        new_df = self.spark.createDataFrame(pd.DataFrame(rows, columns=FRONTIER_COLS))
+        new_df = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=FRONTIER_COLS),
+            schema="job_id string, url string, url_hash string, host string, "
+            "host_hash long, depth int, tries int, seed_idx int",
+        )
         new_df = filter_new(new_df, seen_df, None)
         # localCheckpoint materializes the union BEFORE the replace-
         # write deletes the directory it reads from

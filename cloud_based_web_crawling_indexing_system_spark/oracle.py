@@ -77,6 +77,10 @@ class OracleResult:
     crawl_texts: dict[str, str] = field(default_factory=dict)
     postings: list[dict] = field(default_factory=list)  # term/job_id/url/url_hash/frequency
     metrics: list[dict] = field(default_factory=list)
+    # one row per robots-passing frontier row: the politeness decision
+    # (admitted vs deferred), with the host budget in force — lets
+    # property tests assert the token bucket exactly
+    admit_log: list[dict] = field(default_factory=list)  # round/host/url/budget/admitted
     rounds: int = 0
 
 
@@ -145,13 +149,18 @@ def crawl_oracle(
                 admitted.append(row)
                 continue
             rules = rules_by_host.get(row["host"], allow_all)
-            budget = max(1, int(cfg.round_budget_s / rules.delay))
+            delay = rules.crawl_delay if rules.crawl_delay is not None else cfg.default_delay
+            budget = max(1, int(cfg.round_budget_s / delay))
             k = per_host_seen.get(row["host"], 0)
             if k < budget:
                 admitted.append(row)
             else:
                 m["n_deferred"] += 1
                 next_frontier.append(row)  # deferred unchanged
+            res.admit_log.append(
+                {"round": rnd, "host": row["host"], "url": row["url"],
+                 "budget": budget, "admitted": k < budget}
+            )
             per_host_seen[row["host"]] = k + 1
 
         # fetch + parse + index + discover, in canonical order

@@ -37,13 +37,18 @@ def page_ingest_stream(
 ) -> StreamingQuery:
     """Ingest page parquet drops: watermark on capture time, drop
     duplicate urls within the watermark (first capture wins), append
-    to the corpus sink exactly-once via the checkpointed sink."""
+    to the corpus sink exactly-once via the checkpointed sink.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
+    so the watermark actually scopes AND EVICTS the dedup state — with
+    the plain variant the state is global and grows unboundedly in a
+    continuous run."""
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(src_dir)
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["url"])
+        .dropDuplicatesWithinWatermark(["url"])
     )
     return (
         stream.writeStream.format("parquet")

@@ -65,6 +65,38 @@ def test_full_canonicalization_matches_oracle(spark, corpus, tmp_path):
     assert set(oracle.seen.keys()) != set(ref.seen.keys()) or len(oracle.seen) <= len(ref.seen)
 
 
+def test_default_delay_knob_engine_oracle_parity(spark, corpus, tmp_path):
+    """cfg.default_delay != 1.0 must be honored identically by engine
+    and oracle (hosts with no robots AND hosts whose robots lack a
+    crawl-delay fall back to it)."""
+    cfg = CrawlConfig(round_budget_s=6.0, default_delay=3.0)
+    run = _run(spark, tmp_path / "delay3", corpus, cfg)
+    oracle = crawl_oracle(
+        pd.read_parquet(corpus["pages"]),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        cfg,
+    )
+    got_seen = {r["url_hash"]: (r["url"], r["first_round"]) for r in run.seen_df().collect()}
+    assert got_seen == oracle.seen
+    em = [r for r in run.metrics_df().where("stage = 'round'").collect()]
+    eng = {}
+    for r in em:
+        eng.setdefault(r["round"], {})[r["key"]] = r["value"]
+    for o in oracle.metrics:
+        assert eng[o["round"]]["n_deferred"] == o["n_deferred"], f"round {o['round']}"
+    # and the knob changed behavior vs the default (more deferrals)
+    base = crawl_oracle(
+        pd.read_parquet(corpus["pages"]),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        CrawlConfig(round_budget_s=6.0, default_delay=1.0),
+    )
+    assert sum(m["n_deferred"] for m in oracle.metrics) > sum(
+        m["n_deferred"] for m in base.metrics
+    )
+
+
 def test_shuffled_fetch_fallback_identical(spark, corpus, tmp_path):
     base = _run(spark, tmp_path / "bcast", corpus, CrawlConfig(round_budget_s=1e9))
     forced = _run(

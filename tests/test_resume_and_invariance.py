@@ -105,9 +105,41 @@ def test_dynamic_seed_append(spark, micro_corpus, tmp_path):
     candidates = [u for u in pages.url if u not in seen_urls]
     assert candidates
     job = pd.read_parquet(micro_corpus["seeds"]).job_id.iloc[0]
-    run.add_seeds([candidates[0]], job_id=job, depth=1)
+    already_seen = next(iter(seen_urls))
+    # in-batch duplicates (same url twice) and an already-seen url must
+    # both collapse: seen-set uniqueness is the invariant
+    run.add_seeds(
+        [candidates[0], candidates[0], already_seen, candidates[1]],
+        job_id=job, depth=1,
+    )
     run.run()
-    texts = {r["url"] for r in run.texts_df().collect()}
-    assert candidates[0] in texts
+    texts_df = run.texts_df().groupBy("url").count()
+    texts = {r["url"]: r["count"] for r in texts_df.collect()}
+    assert texts.get(candidates[0]) == 1  # fetched+indexed exactly once
+    assert texts.get(candidates[1]) == 1
     seen = run.seen_df()
-    assert seen.where(seen.url == candidates[0]).count() == 1
+    for u in (candidates[0], candidates[1], already_seen):
+        assert seen.where(seen.url == u).count() == 1
+    # no url ever indexed twice
+    assert max(texts.values()) == 1
+
+
+def test_add_seeds_canonicalizes_in_full_mode(spark, micro_corpus, tmp_path):
+    cfg = CrawlConfig(round_budget_s=1e9, canonicalization="full")
+    run = _fresh_run(spark, tmp_path / "dynfull", micro_corpus, cfg)
+    run.step()
+    from cloud_based_web_crawling_indexing_system_spark.functions.urlnorm import (
+        canonicalize_full,
+    )
+
+    pages = pd.read_parquet(micro_corpus["pages"])
+    seen_urls = {r["url"] for r in run.seen_df().collect()}
+    cand = next(u for u in pages.url if canonicalize_full(u) not in seen_urls)
+    job = pd.read_parquet(micro_corpus["seeds"]).job_id.iloc[0]
+    # inject a messy variant: fragment + unsorted no-op, must collapse
+    # to the canonical form before hashing (as init() does)
+    run.add_seeds([cand + "#frag"], job_id=job, depth=1)
+    rnd = run.frontier.last_round()
+    fr = run.frontier.read_round(rnd)
+    got = [r["url"] for r in fr.where(fr.seed_idx == -1).collect()]
+    assert got == [canonicalize_full(cand + "#frag")]
