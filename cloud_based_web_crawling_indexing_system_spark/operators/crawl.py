@@ -83,6 +83,10 @@ class CrawlRun:
         self.frontier = RoundTable(spark, os.path.join(root, "frontier"))
         self.seen = RoundTable(spark, os.path.join(root, "seen_urls"))
         self.postings = RoundTable(spark, os.path.join(root, "postings"))
+        # compacted postings checkpoints: round r holds the grouped
+        # aggregate of all deltas <= r, so postings_df() reads one
+        # snapshot + a bounded delta tail (A2 at scale)
+        self.postings_state = RoundTable(spark, os.path.join(root, "postings_state"))
         self.texts = RoundTable(spark, os.path.join(root, "texts"))
         self.metrics = RoundTable(spark, os.path.join(root, "metrics"))
         self._jobs_df: DataFrame | None = None
@@ -185,6 +189,8 @@ class CrawlRun:
     def add_seeds(self, new_urls: list[str], job_id: str, depth: int = 1) -> None:
         """Mid-crawl seed append (S10, Local dynamic_urls.json): union
         unseen urls into the NEXT round's frontier at the given depth."""
+        if self._jobs_df is None:
+            self._load_dims()  # resume: canonicalization mode from state.json
         rnd = self.frontier.last_round()
         assert rnd is not None, "init first"
         last_done = self.metrics.last_round()
@@ -264,9 +270,12 @@ class CrawlRun:
             prof[key] = round(t1 - t0, 3)
             return t1
 
-        cfg = self.cfg
+        # dims (and the PERSISTED cfg) must load before cfg is read:
+        # a resumed run otherwise replays its first round under the
+        # default config (e.g. wrong politeness budget)
         if self._jobs_df is None:
             self._load_dims()
+        cfg = self.cfg
         # round progress is defined by the metrics table, which is the
         # LAST commit of a round — a crash between any two table
         # commits leaves metrics(r) absent, so the whole round replays
@@ -471,7 +480,32 @@ class CrawlRun:
         new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        # postings compaction (A2 at scale): every compact_every rounds
+        # fold checkpoint(ck) + committed deltas (ck, r) + this round's
+        # delta into checkpoint(r).  Planned HERE (before the pool) so
+        # the directory listing never races the concurrent delta write;
+        # deterministic, so a replayed round rewrites it identically.
+        compact_state = None
+        if cfg.compact_every and (r + 1) % cfg.compact_every == 0:
+            # previous checkpoint strictly BEFORE r: a replayed round
+            # must not fold in the checkpoint its crashed attempt wrote
+            # (that one already contains round r's delta)
+            ck_rounds = [x for x in self.postings_state.committed_rounds() if x < r]
+            ck = ck_rounds[-1] if ck_rounds else None
+            parts = [postings_delta]
+            if ck is not None:
+                parts.append(self.postings_state.read_round(ck).drop("round"))
+            tail = self.postings.read_all(after=ck, upto=r - 1)
+            if tail is not None:
+                parts.append(tail.drop("round"))
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            compact_state = allp.groupBy("term", "job_id", "url", "url_hash").agg(
+                F.sum("frequency").alias("frequency")
+            )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futs = [
                 pool.submit(self.postings.write_round, r, postings_delta),
                 pool.submit(self.texts.write_round, r,
@@ -482,6 +516,8 @@ class CrawlRun:
                             new_seen.repartition(max(1, n_parts // 4))),
                 pool.submit(self.frontier.write_round, r + 1, next_frontier),
             ]
+            if compact_state is not None:
+                futs.append(pool.submit(self.postings_state.write_round, r, compact_state))
             for fut in futs:
                 fut.result()  # propagate failures BEFORE the marker
         t0 = _mark("commit", t0)
@@ -604,6 +640,8 @@ class CrawlRun:
         """Crawl until the frontier drains (or max_rounds). Safe to call
         after a crash — continues from the last committed round."""
         out = []
+        if self._jobs_df is None:
+            self._load_dims()  # resume: cfg.max_rounds comes from state.json
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         while True:
             last_done = self.metrics.last_round()
@@ -642,11 +680,29 @@ class CrawlRun:
         return m.where(F.col("round") == last).orderBy("stage", "key", "partition_id")
 
     def postings_df(self) -> DataFrame | None:
-        """Current postings state — the MERGE INTO view (A2): deltas
-        grouped to (term, job_id, url) with summed frequency."""
-        deltas = self.postings.read_all()
-        if deltas is None:
-            return None
+        """Current postings state — the MERGE INTO view (A2): the last
+        compaction checkpoint plus the (< compact_every)-round delta
+        tail, grouped to (term, job_id, url).  Search latency stays
+        flat as rounds grow instead of re-aggregating all history."""
+        # only checkpoints of COMPLETED rounds count (a crash between
+        # the state write and the metrics marker leaves a checkpoint
+        # ahead of the round log; it is rewritten identically on replay)
+        done = self.metrics.last_round()
+        ck_rounds = [
+            x for x in self.postings_state.committed_rounds()
+            if done is not None and x <= done
+        ]
+        ck = ck_rounds[-1] if ck_rounds else None
+        if ck is None:
+            deltas = self.postings.read_all()
+            if deltas is None:
+                return None
+            deltas = deltas.drop("round")
+        else:
+            deltas = self.postings_state.read_round(ck).drop("round")
+            tail = self.postings.read_all(after=ck)
+            if tail is not None:
+                deltas = deltas.unionByName(tail.drop("round"))
         return deltas.groupBy("term", "job_id", "url", "url_hash").agg(
             F.sum("frequency").alias("frequency")
         )

@@ -67,6 +67,10 @@ class CrawlConfig:
     # this the fetch falls back to a shuffled equi-join (production:
     # pages bucketed by url makes that co-located)
     broadcast_fetch_rows: int = 2_000_000
+    # engine-only: every K committed rounds, fold the postings delta log
+    # into one checkpoint snapshot so search reads O(1) state + a <K
+    # delta tail instead of re-aggregating all history (A2 MERGE view)
+    compact_every: int = 8
 
 
 @dataclass

@@ -704,14 +704,24 @@ def q24(spark, sf_dir):
         for j in range(_MH_K)
     ]
     sig = sh.groupBy("doc_id").agg(*mh)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.encode(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")), "utf-8")).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one pass over sig: explode a literal (band, bucket) struct array
+    # instead of a 4-way union that would re-plan the shingle->minhash
+    # aggregation subtree per band (the self-join below then reuses ONE
+    # exchange instead of up to 8 aggregate subtrees)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.encode(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")), "utf-8")
+                ).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

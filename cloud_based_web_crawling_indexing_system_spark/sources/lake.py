@@ -123,18 +123,30 @@ class RoundTable:
 
         return self.spark.read.parquet(self._round_dir(rnd)).withColumn("round", F.lit(rnd))
 
-    def read_all(self, upto: int | None = None) -> DataFrame | None:
-        """Union of all committed rounds (optionally <= upto), with the
-        round injected as a column — the 'current table state' view."""
-        from functools import reduce
+    def read_all(
+        self, upto: int | None = None, after: int | None = None
+    ) -> DataFrame | None:
+        """All committed rounds (optionally ``after < round <= upto``)
+        as ONE partitioned parquet scan — the 'current table state'
+        view.  The directory layout ``data/round=NNNNNN`` IS a hive
+        partitioning, so this is a single FileSourceScan with the
+        round filter partition-pruned, instead of an O(#rounds)
+        union-of-plans that blows up the planner at thousands of
+        rounds.  Uncommitted/stale round dirs (a crashed attempt) are
+        excluded by the same pruning filter."""
+        from pyspark.sql import functions as F
 
         rounds = self.committed_rounds()
         if upto is not None:
             rounds = [r for r in rounds if r <= upto]
+        if after is not None:
+            rounds = [r for r in rounds if r > after]
         if not rounds:
             return None
-        dfs = [self.read_round(r) for r in rounds]
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        df = self.spark.read.option("basePath", self._data_dir).parquet(
+            *(self._round_dir(r) for r in rounds)
+        )
+        return df.withColumn("round", F.col("round").cast("int"))
 
     def truncate_after(self, rnd: int) -> None:
         """Drop commits > rnd (used by kill-and-resume tests to model a

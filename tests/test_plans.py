@@ -84,3 +84,45 @@ def test_crawl_fetch_broadcasts_frontier_not_pages(spark, tiny_corpus, tmp_path)
     # pages scan pruned to exactly (url, html)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "html" in read_schema and "warc_ts" not in read_schema and "text" not in read_schema
+
+
+def test_read_all_is_one_scan_over_n_rounds(spark, tiny_corpus, tmp_path):
+    """RoundTable.read_all must plan ONE partitioned parquet scan no
+    matter how many rounds are committed — not an O(#rounds) union
+    (the planner blow-up at thousands of rounds)."""
+    from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
+    from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig
+
+    run = CrawlRun(spark, str(tmp_path / "scanrun"), CrawlConfig(round_budget_s=8.0))
+    run.init(
+        tiny_corpus["pages"],
+        spark.read.parquet(tiny_corpus["robots"]),
+        spark.read.parquet(tiny_corpus["seeds"]),
+    )
+    run.run(max_rounds=5)
+    n_rounds = len(run.frontier.committed_rounds())
+    assert n_rounds >= 5
+    df = run.frontier.read_all()
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+    # the round partition column materializes correctly
+    got = sorted(r["round"] for r in df.select("round").distinct().collect())
+    assert got == run.frontier.committed_rounds()
+    # pruned read: upto/after filters restrict the partitions listed
+    part = run.frontier.read_all(upto=2, after=0)
+    rounds = {r["round"] for r in part.select("round").distinct().collect()}
+    assert rounds == {1, 2}
+    assert _plan(part).count("Scan parquet") == 1
+
+
+def test_q24_single_aggregation_subtree(spark):
+    """The LSH band build must be one pass over the minhash signatures
+    (exploded literal band array), not a 4-way union re-planning the
+    shingle->minhash aggregation per band."""
+    df = probes.registry()["q24_minhash_lsh_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "Union" not in plan
+    # one partial+final pair per side of the self-join at most; the
+    # old union plan had up to 16 HashAggregates
+    assert plan.count("HashAggregate") <= 6

@@ -143,3 +143,39 @@ def test_add_seeds_canonicalizes_in_full_mode(spark, micro_corpus, tmp_path):
     fr = run.frontier.read_round(rnd)
     got = [r["url"] for r in fr.where(fr.seed_idx == -1).collect()]
     assert got == [canonicalize_full(cand + "#frag")]
+
+
+def test_postings_compaction_equivalence_and_crash(spark, micro_corpus, tmp_path):
+    """Compaction is a pure read-path optimization: postings_df() with
+    aggressive checkpoints equals the no-compaction MERGE view, the
+    search plan reads a bounded number of scans, and a crash straddling
+    a compaction round replays identically."""
+    base = _fresh_run(spark, tmp_path / "nocompact", micro_corpus,
+                      CrawlConfig(round_budget_s=8.0, compact_every=0))
+    base.run()
+    want = _snapshot(base)
+    n_rounds = len(base.metrics.committed_rounds())
+    assert n_rounds >= 4  # budget throttling stretches the crawl
+
+    comp = _fresh_run(spark, tmp_path / "compact2", micro_corpus,
+                      CrawlConfig(round_budget_s=8.0, compact_every=2))
+    comp.run()
+    assert comp.postings_state.committed_rounds()  # checkpoints fired
+    assert _snapshot(comp) == want
+
+    # read path: one checkpoint scan + a tail of < compact_every delta
+    # scans, regardless of total rounds
+    plan = comp.postings_df()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2
+
+    # crash right after a compaction round's checkpoint but before the
+    # round marker -> the round replays and rewrites the checkpoint
+    crash = _fresh_run(spark, tmp_path / "compactcrash", micro_corpus,
+                       CrawlConfig(round_budget_s=8.0, compact_every=2))
+    crash.step()
+    crash.step()  # round 1 commits postings_state(1)
+    crash.metrics.truncate_after(0)  # round-1 marker gone, state(1) kept
+    resumed = CrawlRun(spark, str(tmp_path / "compactcrash"))
+    resumed.run()
+    got = _snapshot(resumed)
+    assert got == want
