@@ -181,10 +181,13 @@ class CrawlRun:
         # scan is column-pruned to exactly those two columns.
         self._pages_df = self.spark.read.parquet(self._pages_path).select("url", "html")
         if cfg.use_bloom:
-            self._bloom = BloomSeen(self.spark)
-            seen_all = self.seen.read_all()
-            if seen_all is not None:
-                self._bloom.add_positions_df(seen_all)
+            self._bloom = BloomSeen(self.spark, os.path.join(self.root, "bloom"))
+            if not self._bloom.exists():
+                # missing/corrupt shard table: rebuild from the
+                # authoritative seen table, sized from its row count
+                # (parquet footers, no job)
+                n = sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
+                self._bloom.rebuild(self.seen.read_all(), n)
 
     def add_seeds(self, new_urls: list[str], job_id: str, depth: int = 1) -> None:
         """Mid-crawl seed append (S10, Local dynamic_urls.json): union
@@ -232,12 +235,15 @@ class CrawlRun:
         add_seen = new_df.select(
             "url_hash", "url", F.lit(rnd).alias("first_round")
         )
+        # materialize BEFORE the replace-write below rewrites the seen
+        # dirs this lineage reads from
+        add_seen = add_seen.localCheckpoint(eager=True)
         prev_seen = self.seen.read_round(rnd).drop("round") if rnd in self.seen.committed_rounds() else None
         merged = add_seen if prev_seen is None else prev_seen.unionByName(add_seen)
         merged = merged.localCheckpoint(eager=True)
         self.seen.write_round(rnd, merged)
         if self._bloom is not None:
-            self._bloom.add_positions_df(merged)
+            self._bloom.add_positions_df(add_seen)
 
     # -- the round ---------------------------------------------------------
 
@@ -505,7 +511,7 @@ class CrawlRun:
                 F.sum("frequency").alias("frequency")
             )
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(self.postings.write_round, r, postings_delta),
                 pool.submit(self.texts.write_round, r,
@@ -518,6 +524,13 @@ class CrawlRun:
             ]
             if compact_state is not None:
                 futs.append(pool.submit(self.postings_state.write_round, r, compact_state))
+            if self._bloom is not None:
+                # bloom shard update overlaps the commits and lands
+                # BEFORE the round marker: a crash replays the round
+                # and re-ORs the same bits (idempotent); the bloom can
+                # only run AHEAD of the seen table, never behind —
+                # extra bits are false positives the exact join resolves
+                futs.append(pool.submit(self._bloom.add_positions_df, new_seen))
             for fut in futs:
                 fut.result()  # propagate failures BEFORE the marker
         t0 = _mark("commit", t0)
@@ -547,10 +560,12 @@ class CrawlRun:
         ]
         self._write_metrics(r, rows)
 
-        if self._bloom is not None and n_new:
-            # feed the bloom from the committed seen snapshot (single
-            # cheap re-read, no recomputation of the dedup subplan)
-            self._bloom.add_positions_df(self.seen.read_round(r + 1))
+        if self._bloom is not None and self._bloom.needs_rebuild():
+            # |seen| outgrew the target bits-per-key: resize to the
+            # next power of two and rebuild from the seen table (one
+            # aggregation) — the FP rate never saturates as n grows
+            n_total = sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
+            self._bloom.rebuild(self.seen.read_all(), n_total)
         t0 = _mark("metrics_bloom", t0)
 
         for df in (f2, decided, parsed, cand, new_children):

@@ -1,115 +1,313 @@
-"""URL-seen set: broadcast bloom pre-filter + exact anti-join (D1/D2/J4).
+"""URL-seen set: sharded bloom pre-filter + exact anti-join (D1/D2/J4).
 
 The reference's seen set is an exact MySQL unique index probed one
 URL at a time (/root/reference/Cloud/scripts/indexer_worker.py:105-132).
 At 10^10 URLs the scalable shape (north_star, BASELINE.json:6) is:
 
-- approximate tier: a bloom filter over md5(url) broadcast to all
-  executors; candidates that miss the bloom are definitely new and
-  skip the expensive join;
+- approximate tier: a bloom filter over md5(url), sharded by key;
+  candidates that miss the bloom are definitely new and skip the
+  expensive join;
 - exact tier: a left-anti join against the seen table resolves bloom
-  false positives (authoritative).
+  false positives (authoritative — the bloom is NEVER authoritative).
 
-Hash scheme: the seen key is already md5 hex (P8), so the k bloom
-positions are just k disjoint 8-hex-digit slices of the key modulo m —
-computable identically JVM-side (``conv(substring(...),16,10)``) for
-the build and NumPy-side for the vectorized probe; no Python/JVM hash
-divergence possible.
+Layout.  The key's shard is a salted md5 slice; its K=4 bit positions
+are salted md5 slices local to that shard, so every key's bits live in
+ONE shard.  All hash arithmetic is JVM-side Catalyst expressions
+(``md5``/``conv``/``pmod``) for build AND probe — the Python side only
+ever indexes into byte arrays, so no Python/JVM hash divergence is
+possible.
 
-The bit array grows incrementally on the driver (new positions per
-round are appended; a resume rebuilds it from the seen table with one
-aggregation), and ships to executors via ``SparkContext.broadcast``.
+Sizing.  m is sized from |seen| at BITS_PER_KEY=16 with K=4 probes:
+FP = (1 - e^(-K·n/m))^K ≈ 0.24 %.  When n grows past m/BITS_PER_KEY
+the filter is rebuilt at the next power of two from the seen table
+(one aggregation) — the fixed-m failure mode (FP saturation at
+10^10 keys turning the prefilter into pure overhead) cannot happen.
+
+Residency.  The bit shards live in a parquet side table written and
+OR-merged BY EXECUTORS (applyInPandas over shard groups); the driver
+never holds or builds the bit array.  Probe paths:
+
+- m/8 <= broadcast_cap_bytes: the packed shards (sum = m/8 bytes) are
+  broadcast and probed in a vectorized UDF — zero shuffle on the
+  candidate side (the right trade below the cap);
+- m/8  > broadcast_cap_bytes: partition-local probe — candidates
+  cogroup with the shard table on shard id, so each task holds only
+  its shards' bits.  At 10^10 keys (m = 1.6e11 bits, 20 GB packed —
+  far beyond any broadcast) this is the only residency that works:
+  ~5 MB per shard at 4096 shards, co-partitioned with the anti-join
+  that follows.
+
+Both paths produce identical decisions (property-tested), and
+no-bloom equals bloom end-to-end (the exact join is authoritative).
+
+Crash safety: the shard table is updated inside the round's commit
+pool BEFORE the round-done marker, so a replayed round re-ORs the
+same positions (idempotent); a bloom that is AHEAD of the seen table
+(crash after bloom write) only adds false positives, which the exact
+join resolves.  A missing/corrupt shard table rebuilds from the seen
+table on resume.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["BloomSeen", "position_cols"]
+__all__ = ["BloomSeen", "position_cols", "bloom_m_for"]
 
-K = 4  # hash functions = 4 disjoint md5 slices
+K = 4  # hash probes per key
+BITS_PER_KEY = 16  # m/n target -> FP ~= 0.24% at K=4
+M_MIN = 1 << 20
 
 
-def position_cols(url_hash_col: str, m: int) -> list:
-    """JVM-side bloom positions: slice i of the md5 hex, mod m."""
-    return [
-        F.pmod(
-            F.conv(F.substring(F.col(url_hash_col), 1 + 8 * i, 8), 16, 10).cast("long"),
-            F.lit(m),
-        ).alias(f"_bp{i}")
+def bloom_m_for(n_keys: int) -> int:
+    """Power-of-two m for a target of BITS_PER_KEY bits per key.
+    10^10 keys -> 2^38 bits (32 GiB packed across shards)."""
+    need = max(M_MIN, n_keys * BITS_PER_KEY)
+    return 1 << (need - 1).bit_length()
+
+
+def _salted_slice(url_hash_col: str, salt: str, n_hex: int) -> F.Column:
+    """conv(substring(md5(url_hash || '|salt'), 1, n_hex), 16, 10) —
+    pure Catalyst, identical wherever it runs."""
+    h = F.md5(F.encode(F.concat(F.col(url_hash_col), F.lit(f"|{salt}")), "utf-8"))
+    return F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long")
+
+
+def position_cols(url_hash_col: str, m: int, n_shards: int) -> list[F.Column]:
+    """[shard, local position 0..K-1] for a key.  Local positions use
+    60-bit salted slices mod shard_size, so any shard_size up to 2^60
+    is uniform — no width cap on m."""
+    shard_size = m // n_shards
+    cols = [F.pmod(_salted_slice(url_hash_col, "s", 8), F.lit(n_shards)).alias("_bshard")]
+    cols += [
+        F.pmod(_salted_slice(url_hash_col, str(i), 15), F.lit(shard_size)).alias(f"_bp{i}")
         for i in range(K)
     ]
+    return cols
+
+
+_POS_NAMES = ["_bshard"] + [f"_bp{i}" for i in range(K)]
 
 
 class BloomSeen:
-    """Driver-held bloom bit array over the seen table."""
+    """Sharded, executor-resident bloom over the seen table."""
 
-    def __init__(self, spark, m_bits: int = 1 << 22):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        m_bits: int = M_MIN,
+        n_shards: int = 64,
+        broadcast_cap_bytes: int = 1 << 26,
+    ):
         self.spark = spark
+        self.path = path  # parquet dir: (shard int, bits binary) + _meta.json
+        self.n_shards = n_shards
+        self.broadcast_cap_bytes = broadcast_cap_bytes
         self.m = m_bits
-        self.bits = np.zeros(m_bits, dtype=bool)
+        self.n_keys = 0
         self._bc = None
+        self._load_meta()
 
-    N_SHARDS = 64
+    # -- persistence -------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    def _load_meta(self) -> None:
+        if os.path.isfile(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            self.m = int(meta["m"])
+            self.n_keys = int(meta["n_keys"])
+
+    def _write_meta(self) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"m": self.m, "n_keys": self.n_keys, "n_shards": self.n_shards}, f)
+        os.replace(tmp, self._meta_path)
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._meta_path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def _shards_df(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.schema("shard int, bits binary, n_new long").parquet(
+            self.path
+        )
+
+    # -- build / update (executor-side) -------------------------------------
 
     def add_positions_df(self, df: DataFrame, url_hash_col: str = "url_hash") -> None:
-        """OR the new rows into the bit array WITHOUT shipping raw
-        positions to the driver: positions are sharded, each shard's
-        partial bitmap is packed executor-side (applyInPandas), and the
-        driver collects at most N_SHARDS fixed-size byte arrays —
-        O(m/8) bytes total regardless of row count, so the update cost
-        scales out with executors instead of serializing on the
-        driver."""
-        import pandas as pd
+        """OR the rows' bits into the shard table — one Spark job, all
+        bit work in executors (applyInPandas per shard); the driver
+        only swaps directories.  Idempotent (OR), so crash replays are
+        safe."""
+        m, n_shards = self.m, self.n_shards
+        shard_size = m // n_shards
 
-        m = self.m
-        shard_size = m // self.N_SHARDS  # m is a power of two
+        pos = df.select(*position_cols(url_hash_col, m, n_shards))
+        long_pos = pos.select(
+            F.col("_bshard").cast("int").alias("shard"),
+            F.explode(F.array(*[F.col(f"_bp{i}") for i in range(K)])).alias("p"),
+        )
+        old = self._shards_df()
+        if old is not None:
+            # old bytes ride along as pseudo-positions: encode as rows
+            # with p = -1 and the packed bytes in a binary col
+            old_rows = old.select("shard", F.lit(-1).cast("long").alias("p"), F.col("bits"))
+            new_rows = long_pos.withColumn("bits", F.lit(None).cast("binary"))
+            unioned = new_rows.unionByName(old_rows)
+        else:
+            unioned = long_pos.withColumn("bits", F.lit(None).cast("binary"))
 
-        pos = df.select(
-            F.explode(F.array(*position_cols(url_hash_col, m))).alias("p")
-        ).withColumn("shard", (F.col("p") / F.lit(shard_size)).cast("int"))
+        nbytes = shard_size // 8
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
-            local = np.zeros(shard_size, dtype=bool)
-            local[pdf["p"].to_numpy(dtype=np.int64) - shard * shard_size] = True
-            return pd.DataFrame({"shard": [shard], "bits": [np.packbits(local).tobytes()]})
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for b in pdf.loc[pdf["p"] < 0, "bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            p = pdf.loc[pdf["p"] >= 0, "p"].to_numpy(dtype=np.int64)
+            if len(p):
+                local = np.zeros(shard_size, dtype=bool)
+                local[p] = True
+                acc |= np.packbits(local)
+            # new-key count rides in the output so sizing needs no
+            # extra count() action (K positions per key)
+            return pd.DataFrame(
+                {"shard": [shard], "bits": [acc.tobytes()], "n_new": [len(p) // K]}
+            )
 
-        rows = pos.groupBy("shard").applyInPandas(pack, "shard int, bits binary").collect()
-        for r in rows:
-            s = r["shard"]
-            self.bits[s * shard_size : (s + 1) * shard_size] |= np.unpackbits(
-                np.frombuffer(r["bits"], dtype=np.uint8)
-            ).astype(bool)
+        merged = unioned.groupBy("shard").applyInPandas(
+            pack, "shard int, bits binary, n_new long"
+        )
+        tmp = self.path + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+        import pyarrow.parquet as pq
+
+        n_added = 0
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(self.path, f), columns=["n_new"])
+                n_added += sum(t.column("n_new").to_pylist())
+        self.n_keys += int(n_added)
+        self._write_meta()
         self._bc = None  # invalidate broadcast
 
+    def needs_rebuild(self) -> bool:
+        return self.n_keys * BITS_PER_KEY > self.m
+
+    def rebuild(self, seen_df: DataFrame | None, n_keys: int) -> None:
+        """Resize to fit ``n_keys`` and rebuild from the authoritative
+        seen table (one aggregation job)."""
+        self.m = bloom_m_for(n_keys)
+        self.n_keys = 0
+        self._bc = None
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        if seen_df is not None:
+            self.add_positions_df(seen_df)
+        else:
+            self._write_meta()
+
+    # -- probe ---------------------------------------------------------------
+
     def _broadcast(self):
+        """Packed shards assembled into one m/8-byte array and
+        broadcast — only taken when m/8 <= broadcast_cap_bytes."""
         if self._bc is None:
-            self._bc = self.spark.sparkContext.broadcast(np.packbits(self.bits))
+            shard_size = self.m // self.n_shards
+            packed = np.zeros(self.m // 8, dtype=np.uint8)
+            if self.exists():
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self.path, columns=["shard", "bits"])
+                for shard, bits in zip(
+                    t.column("shard").to_pylist(), t.column("bits").to_pylist()
+                ):
+                    off = shard * (shard_size // 8)
+                    packed[off : off + len(bits)] |= np.frombuffer(bits, dtype=np.uint8)
+            self._bc = self.spark.sparkContext.broadcast(packed)
         return self._bc
 
     def prefilter(self, cand: DataFrame, url_hash_col: str = "url_hash") -> DataFrame:
         """Adds boolean ``_maybe_seen``; False rows are DEFINITELY new."""
+        if self.m // 8 <= self.broadcast_cap_bytes:
+            return self._prefilter_broadcast(cand, url_hash_col)
+        return self._prefilter_cogrouped(cand, url_hash_col)
+
+    def _prefilter_broadcast(self, cand: DataFrame, url_hash_col: str) -> DataFrame:
         bc = self._broadcast()
-        m = self.m
-        pcols = position_cols(url_hash_col, m)
-        with_pos = cand.select("*", *pcols)
-        pos_names = [f"_bp{i}" for i in range(K)]
+        shard_bytes = (self.m // self.n_shards) // 8
+        with_pos = cand.select("*", *position_cols(url_hash_col, self.m, self.n_shards))
 
         @F.pandas_udf("boolean")
         def probe(*cols: pd.Series) -> pd.Series:
             packed = bc.value  # np.packbits layout: MSB-first within byte
-            out = np.ones(len(cols[0]), dtype=bool)
-            for c in cols:
-                pos = c.to_numpy(dtype=np.int64)
+            shard = cols[0].to_numpy(dtype=np.int64)
+            base = shard * shard_bytes * 8
+            out = np.ones(len(shard), dtype=bool)
+            for c in cols[1:]:
+                pos = base + c.to_numpy(dtype=np.int64)
                 byte = packed[pos >> 3]
                 out &= ((byte >> (7 - (pos & 7))) & 1).astype(bool)
             return pd.Series(out)
 
-        return with_pos.withColumn("_maybe_seen", probe(*pos_names)).drop(*pos_names)
+        return with_pos.withColumn("_maybe_seen", probe(*_POS_NAMES)).drop(*_POS_NAMES)
+
+    def _prefilter_cogrouped(self, cand: DataFrame, url_hash_col: str) -> DataFrame:
+        """Partition-local probe: candidates cogroup with the shard
+        table on shard id — each task holds only its shards' bits, the
+        driver none.  The scale path for m beyond broadcast."""
+        with_pos = cand.select("*", *position_cols(url_hash_col, self.m, self.n_shards))
+        shards = self._shards_df()
+        if shards is None:
+            shards = self.spark.createDataFrame([], "shard int, bits binary")
+        out_schema = T.StructType(
+            [f for f in with_pos.schema.fields if f.name not in _POS_NAMES[1:]]
+            + [T.StructField("_maybe_seen", T.BooleanType())]
+        )
+        keep = [f.name for f in with_pos.schema.fields if f.name not in _POS_NAMES[1:]]
+
+        def probe(cand_pdf: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
+            if bits_pdf.empty:
+                maybe = np.zeros(len(cand_pdf), dtype=bool)
+            else:
+                packed = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
+                maybe = np.ones(len(cand_pdf), dtype=bool)
+                for i in range(K):
+                    pos = cand_pdf[f"_bp{i}"].to_numpy(dtype=np.int64)
+                    byte = packed[pos >> 3]
+                    maybe &= ((byte >> (7 - (pos & 7))) & 1).astype(bool)
+            out = cand_pdf[keep].copy()
+            out["_maybe_seen"] = maybe
+            return out
+
+        return (
+            with_pos.groupby("_bshard")
+            .cogroup(shards.groupby("shard"))
+            .applyInPandas(probe, out_schema)
+            .drop("_bshard")
+        )
 
 
 def filter_new(

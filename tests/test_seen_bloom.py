@@ -1,0 +1,105 @@
+"""Properties of the sharded seen-set bloom (operators/seen.py):
+no false negatives ever, FP rate near theory at the sized m, the
+broadcast and partition-local (cogrouped) probe paths identical, and
+growth-by-rebuild keeping the FP rate from saturating.
+
+Sizing math under test (documented for 10^10): m = n * 16 bits,
+K = 4 probes -> FP = (1 - e^(-K*n/m))^K = (1 - e^(-0.25))^4 ~= 0.24%.
+At n = 10^10 that is m = 2^38 bits = 32 GiB packed, beyond any
+broadcast -> the cogrouped partition-local path is the scale route.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_based_web_crawling_indexing_system_spark.operators.seen import (
+    BITS_PER_KEY,
+    BloomSeen,
+    bloom_m_for,
+    filter_new,
+)
+
+
+def _keys(lo: int, hi: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"url_hash": [hashlib.md5(str(i).encode()).hexdigest() for i in range(lo, hi)]}
+    )
+
+
+N = 16384
+
+
+@pytest.fixture(scope="module")
+def inserted(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bloomfp") / "bloom")
+    # m sized at exactly BITS_PER_KEY bits/key for N keys
+    bloom = BloomSeen(spark, path, m_bits=N * BITS_PER_KEY)
+    bloom.add_positions_df(spark.createDataFrame(_keys(0, N)))
+    return bloom
+
+
+def test_no_false_negatives(spark, inserted):
+    got = inserted.prefilter(spark.createDataFrame(_keys(0, N))).collect()
+    assert all(r["_maybe_seen"] for r in got)  # every inserted key hits
+
+
+def test_fp_rate_near_theory(spark, inserted):
+    fresh = spark.createDataFrame(_keys(N, 2 * N))
+    got = inserted.prefilter(fresh).collect()
+    fp = sum(1 for r in got if r["_maybe_seen"]) / len(got)
+    # theory at m/n=16, K=4: ~0.24%; allow 4x for variance
+    assert fp < 0.01, f"fp={fp}"
+    assert inserted.n_keys == N
+
+
+def test_broadcast_equals_cogrouped_probe(spark, inserted):
+    cand = spark.createDataFrame(_keys(N // 2, N + N // 2))  # half seen, half fresh
+    a = {r["url_hash"]: r["_maybe_seen"] for r in inserted._prefilter_broadcast(cand, "url_hash").collect()}
+    b = {r["url_hash"]: r["_maybe_seen"] for r in inserted._prefilter_cogrouped(cand, "url_hash").collect()}
+    assert a == b
+    assert sum(a.values()) >= N // 2  # the seen half all hit
+
+
+def test_cap_routes_to_cogrouped_and_filter_new_equal(spark, tmp_path):
+    seen_pdf = _keys(0, 2000)
+    seen_df = spark.createDataFrame(seen_pdf)
+    cand = spark.createDataFrame(_keys(1000, 3000))
+
+    big = BloomSeen(spark, str(tmp_path / "b1"), m_bits=1 << 20)
+    big.add_positions_df(seen_df)
+    small_cap = BloomSeen(
+        spark, str(tmp_path / "b2"), m_bits=1 << 20, broadcast_cap_bytes=0
+    )
+    small_cap.add_positions_df(seen_df)
+
+    via_bcast = sorted(r["url_hash"] for r in filter_new(cand, seen_df, big).collect())
+    via_cogrp = sorted(r["url_hash"] for r in filter_new(cand, seen_df, small_cap).collect())
+    exact = sorted(r["url_hash"] for r in filter_new(cand, seen_df, None).collect())
+    assert via_bcast == via_cogrp == exact  # bloom never changes results
+
+
+def test_growth_rebuild_keeps_keys_and_sizes_m(spark, tmp_path):
+    bloom = BloomSeen(spark, str(tmp_path / "grow"), m_bits=1 << 20)
+    n = (1 << 20) // BITS_PER_KEY + 1000  # just past capacity
+    df = spark.createDataFrame(_keys(0, n))
+    bloom.add_positions_df(df)
+    assert bloom.needs_rebuild()
+    bloom.rebuild(df, bloom.n_keys)
+    assert bloom.m == bloom_m_for(n) and bloom.m > (1 << 20)
+    assert not bloom.needs_rebuild()
+    got = bloom.prefilter(spark.createDataFrame(_keys(0, n))).collect()
+    assert all(r["_maybe_seen"] for r in got)  # still no false negatives
+
+
+def test_persistence_across_instances(spark, tmp_path):
+    path = str(tmp_path / "persist")
+    a = BloomSeen(spark, path, m_bits=1 << 20)
+    a.add_positions_df(spark.createDataFrame(_keys(0, 500)))
+    # a fresh instance reads meta + shards from disk, no rebuild needed
+    b = BloomSeen(spark, path)
+    assert b.exists() and b.m == a.m and b.n_keys == 500
+    got = b.prefilter(spark.createDataFrame(_keys(0, 500))).collect()
+    assert all(r["_maybe_seen"] for r in got)
