@@ -65,6 +65,16 @@ def bench_crawl(spark, corpus_dir: str, workdir: str) -> dict:
         spark.read.parquet(os.path.join(corpus_dir, "robots.parquet")),
         spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet")),
     )
+    # warm the Arrow UDF workers + codegen before timing (same warmup
+    # discipline as scripts/scaling_bench.py): steady-state throughput,
+    # not JVM/Python cold start, is the measured quantity
+    from cloud_based_web_crawling_indexing_system_spark.functions.udfs import (
+        parse_page_udf,
+        term_freqs_udf,
+    )
+
+    warm = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet")).limit(32)
+    warm.select(term_freqs_udf("text"), parse_page_udf("html", "url")).collect()
     t0 = time.time()
     metrics = run.run()
     dt = time.time() - t0

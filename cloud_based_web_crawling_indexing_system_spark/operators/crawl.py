@@ -180,14 +180,19 @@ class CrawlRun:
         # re-listing per round); only (url, html) are ever read -> the
         # scan is column-pruned to exactly those two columns.
         self._pages_df = self.spark.read.parquet(self._pages_path).select("url", "html")
-        if cfg.use_bloom:
-            self._bloom = BloomSeen(self.spark, os.path.join(self.root, "bloom"))
-            if not self._bloom.exists():
-                # missing/corrupt shard table: rebuild from the
-                # authoritative seen table, sized from its row count
-                # (parquet footers, no job)
-                n = sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
-                self._bloom.rebuild(self.seen.read_all(), n)
+        if cfg.use_bloom and self._seen_total() >= cfg.bloom_min_seen:
+            self._activate_bloom()
+
+    def _seen_total(self) -> int:
+        """|seen| from parquet footers — no Spark job."""
+        return sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
+
+    def _activate_bloom(self) -> None:
+        """Bring the bloom tier up (build from the authoritative seen
+        table if its shard table is missing/corrupt)."""
+        self._bloom = BloomSeen(self.spark, os.path.join(self.root, "bloom"))
+        if not self._bloom.exists():
+            self._bloom.rebuild(self.seen.read_all(), self._seen_total())
 
     def add_seeds(self, new_urls: list[str], job_id: str, depth: int = 1) -> None:
         """Mid-crawl seed append (S10, Local dynamic_urls.json): union
@@ -314,8 +319,13 @@ class CrawlRun:
             )
             .drop("robots_txt")
         )
-        f2.persist()
         t0 = _mark("robots", t0)
+
+        # round counters ride as Observations on the dataframes the
+        # commit jobs already materialize — ZERO extra actions per
+        # round (the old decided-collect / parsed.count / cand.count
+        # trio was the per-round fixed cost, VERDICT r1 #6)
+        from pyspark.sql import Observation
 
         passing = f2.where(F.col("allowed"))
         if cfg.politeness:
@@ -324,33 +334,25 @@ class CrawlRun:
             decided = admit_defer(passing, "budget", salts=8 if n_in >= 50_000 else 1)
         else:
             decided = passing.withColumn("admitted", F.lit(True))
-        decided.persist()
-        row = decided.agg(
-            F.count("*").alias("n_decided"),
+        obs_dec = Observation()
+        decided = decided.observe(
+            obs_dec,
+            F.count(F.lit(1)).alias("n_decided"),
             F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
-        ).collect()[0]
-        n_passing = int(row["n_decided"])
-        n_admitted = int(row["n_admitted"] or 0)
-        n_blocked = n_in - n_passing
-        n_deferred = n_passing - n_admitted
-        t0 = _mark("politeness", t0)
+        )
+        decided.persist()
         admitted = decided.where(F.col("admitted"))
         deferred = decided.where(~F.col("admitted")).select(*FRONTIER_COLS)
-
-        if n_admitted == 0:
-            # fast path: nothing passed robots+politeness this round —
-            # no fetch/parse/index subplans, just roll the deferrals.
-            return self._commit_empty_round(r, deferred, n_in, n_blocked,
-                                            n_deferred, f2, decided, prof, _mark, t0)
 
         # fetch (J2): stream the pages corpus past a BROADCAST of the
         # admitted frontier (inner join, pages never shuffled); misses
         # via column-pruned anti-join on pages.url only.  Falls back to
         # a shuffled left join when the round is too big to broadcast.
+        # Strategy picked from n_in (free, parquet footers): admitted
+        # <= n_in, so broadcast stays safe.
         pages = self._pages_df
-        if n_admitted <= cfg.broadcast_fetch_rows:
+        if n_in <= cfg.broadcast_fetch_rows:
             fetched = pages.join(F.broadcast(admitted), "url", "inner")
-            missed = admitted.join(pages.select("url"), "url", "left_anti")
         else:
             joined = admitted.join(pages, "url", "left")
             fetched = joined.where(F.col("html").isNotNull())
@@ -368,7 +370,16 @@ class CrawlRun:
                 F.col("p.link_hosts").alias("link_hosts"),
             )
         )
+        obs_parsed = Observation()
+        parsed = parsed.observe(obs_parsed, F.count(F.lit(1)).alias("n_fetched"))
         parsed.persist()  # consumed by postings, texts, children, metrics
+
+        if n_in <= cfg.broadcast_fetch_rows:
+            # fetch misses = admitted - fetched urls: anti-join against
+            # the bounded, CACHED parse output instead of re-scanning
+            # the whole pages corpus's url column a second time per
+            # round (at 100 TB that second scan dwarfs the round)
+            missed = admitted.join(F.broadcast(parsed.select("url")), "url", "left_anti")
 
         retry = (
             missed.where(F.col("tries") + 1 < F.lit(cfg.max_tries))
@@ -436,10 +447,10 @@ class CrawlRun:
                 _url_md5_col(F.col("l.links")).alias("url_hash"),
                 _host_hash31_col(F.col("l.link_hosts")).alias("child_host_hash"),
             )
+        obs_cand = Observation()
+        cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n_disc"))
         cand.persist()
-        n_fetched = parsed.count()  # materializes the parse once for all consumers
-        n_disc = cand.count()
-        t0 = _mark("fetch_parse", t0)
+        t0 = _mark("plan", t0)
 
         # D1/D2/J4: bloom prefilter + exact anti-join vs seen, then
         # first-discoverer-wins within the batch (deterministic key).
@@ -474,7 +485,7 @@ class CrawlRun:
         # per-host work co-locate; partition count scales with round
         # size (tiny rounds -> single file, no 32-file sprays).
         shuffle_p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        n_parts = max(1, min(shuffle_p, n_disc // 5_000 + 1))
+        n_parts = max(1, min(shuffle_p, n_in // 1_000 + 1))
         next_frontier = next_frontier.repartition(n_parts, "host_hash")
 
         # ---- commits (idempotent replay order, SURVEY §4.4):
@@ -535,6 +546,25 @@ class CrawlRun:
                 fut.result()  # propagate failures BEFORE the marker
         t0 = _mark("commit", t0)
 
+        # the commit jobs materialized every observed dataframe, so the
+        # round counters are already collected — no extra actions.
+        # AQE's empty-relation propagation prunes a CollectMetrics node
+        # whose subtree is provably empty (leaving the Observation with
+        # an unreadable row) — but pruned-because-empty means every
+        # metric is exactly zero, so zeros are the correct fallback.
+        def _obs(observation, key: str) -> int:
+            try:
+                return int(observation.get[key] or 0)
+            except Exception:
+                return 0
+
+        n_passing = _obs(obs_dec, "n_decided")
+        n_admitted = _obs(obs_dec, "n_admitted")
+        n_blocked = n_in - n_passing
+        n_deferred = n_passing - n_admitted
+        n_fetched = _obs(obs_parsed, "n_fetched")
+        n_disc = _obs(obs_cand, "n_disc")
+
         # metrics incl. per-partition lineage (C6/A3, north_rule);
         # derived counts come straight from committed parquet footers
         # via pyarrow — driver-side metadata reads, zero Spark jobs
@@ -560,15 +590,17 @@ class CrawlRun:
         ]
         self._write_metrics(r, rows)
 
-        if self._bloom is not None and self._bloom.needs_rebuild():
+        if self._bloom is None:
+            if cfg.use_bloom and self._seen_total() >= cfg.bloom_min_seen:
+                self._activate_bloom()  # the crawl crossed bloom scale
+        elif self._bloom.needs_rebuild():
             # |seen| outgrew the target bits-per-key: resize to the
             # next power of two and rebuild from the seen table (one
             # aggregation) — the FP rate never saturates as n grows
-            n_total = sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
-            self._bloom.rebuild(self.seen.read_all(), n_total)
+            self._bloom.rebuild(self.seen.read_all(), self._seen_total())
         t0 = _mark("metrics_bloom", t0)
 
-        for df in (f2, decided, parsed, cand, new_children):
+        for df in (decided, parsed, cand, new_children):
             df.unpersist()
 
         out = {
@@ -599,57 +631,6 @@ class CrawlRun:
         )
         pdf = pdf.astype({"round": "int32", "partition_id": "int32", "value": "int64"})
         self.metrics.write_round_pandas(r, pdf, schema)
-
-    def _commit_empty_round(self, r, deferred, n_in, n_blocked, n_deferred,
-                            f2, decided, prof, _mark, t0) -> dict:
-        """Commit a round in which nothing was admitted (all blocked or
-        deferred): empty postings/texts/seen, frontier(r+1)=deferrals."""
-        import pyarrow as pa
-
-        # empty round payloads written driver-side (no Spark jobs)
-        self.postings.write_round_pandas(
-            r,
-            pd.DataFrame(columns=["term", "job_id", "url", "url_hash", "frequency"]),
-            pa.schema([("term", pa.string()), ("job_id", pa.string()),
-                       ("url", pa.string()), ("url_hash", pa.string()),
-                       ("frequency", pa.int64())]),
-        )
-        self.texts.write_round_pandas(
-            r,
-            pd.DataFrame(columns=["url", "text", "index_text"]),
-            pa.schema([("url", pa.string()), ("text", pa.string()),
-                       ("index_text", pa.string())]),
-        )
-        self.seen.write_round_pandas(
-            r + 1,
-            pd.DataFrame(columns=["url_hash", "url", "first_round"]),
-            pa.schema([("url_hash", pa.string()), ("url", pa.string()),
-                       ("first_round", pa.int32())]),
-        )
-        self.frontier.write_round(r + 1, deferred.repartition(1, "host_hash"))
-        t0 = _mark("commit", t0)
-        self._write_metrics(
-            r,
-            [
-                (r, -1, "round", k, int(v))
-                for k, v in [
-                    ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
-                    ("n_fetched", 0), ("n_missed", 0), ("n_failed", 0), ("n_disc", 0),
-                    ("n_new", 0), ("n_indexed", 0), ("n_postings", 0),
-                ]
-            ],
-        )
-        t0 = _mark("metrics_bloom", t0)
-        for df in (f2, decided):
-            df.unpersist()
-        out = {
-            "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
-            "n_fetched": 0, "n_missed": 0, "n_failed": 0, "n_disc": 0, "n_new": 0,
-            "n_indexed": 0, "n_postings": 0, "done": False,
-        }
-        if os.environ.get("CBWCIS_PROFILE"):
-            out["profile"] = prof
-        return out
 
     def run(self, max_rounds: int | None = None) -> list[dict]:
         """Crawl until the frontier drains (or max_rounds). Safe to call

@@ -63,6 +63,11 @@ class CrawlConfig:
     canonicalization: str = "reference"  # or "full"
     politeness: bool = True
     use_bloom: bool = True  # engine-only: bloom prefilter before the exact anti-join
+    # engine-only: the bloom tier activates once |seen| crosses this —
+    # below it the exact anti-join alone is cheaper than maintaining
+    # and probing the filter (the bloom is a 10^10-scale device, not a
+    # 10^4 one); crossing the threshold builds it from the seen table
+    bloom_min_seen: int = 200_000
     # engine-only: max admitted rows for the broadcast fetch join; above
     # this the fetch falls back to a shuffled equi-join (production:
     # pages bucketed by url makes that co-located)

@@ -88,10 +88,30 @@ def test_shuffle_parallelism_invariance(spark, micro_corpus, tmp_path):
 
 
 def test_no_bloom_equals_bloom(spark, micro_corpus, tmp_path):
-    a = _fresh_run(spark, tmp_path / "bloom", micro_corpus, CFG)
+    # bloom_min_seen=0 forces the bloom tier on from round 0 (the
+    # default threshold would leave it dormant at this corpus size)
+    cfg_b = CrawlConfig(round_budget_s=1e9, bloom_min_seen=0)
+    a = _fresh_run(spark, tmp_path / "bloom", micro_corpus, cfg_b)
     a.run()
+    assert a._bloom is not None and a._bloom.n_keys > 0
     cfg_nb = CrawlConfig(round_budget_s=1e9, use_bloom=False)
     b = _fresh_run(spark, tmp_path / "nobloom", micro_corpus, cfg_nb)
+    b.run()
+    assert _snapshot(a) == _snapshot(b)
+
+
+def test_bloom_activates_mid_crawl_at_threshold(spark, micro_corpus, tmp_path):
+    """Below bloom_min_seen the exact anti-join runs alone; the bloom
+    tier builds itself from the seen table when the crawl crosses the
+    threshold — results identical either way."""
+    cfg = CrawlConfig(round_budget_s=1e9, bloom_min_seen=60)
+    a = _fresh_run(spark, tmp_path / "thresh", micro_corpus, cfg)
+    assert a._bloom is None  # below threshold at init (seeds only)
+    a.run()
+    assert a._bloom is not None  # crossed the threshold mid-crawl
+    assert a._bloom.n_keys > 0
+    b = _fresh_run(spark, tmp_path / "threshoff", micro_corpus,
+                   CrawlConfig(round_budget_s=1e9, use_bloom=False))
     b.run()
     assert _snapshot(a) == _snapshot(b)
 
