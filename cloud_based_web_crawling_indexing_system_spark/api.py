@@ -1,0 +1,166 @@
+"""Reference-verb façade over the engine (SURVEY.md §3 lifecycle).
+
+The reference master exposes four verbs over HTTP
+(/root/reference/Cloud/scripts/master.py):
+
+- ``POST /jobs``   — parse seed urls from form text + uploaded file,
+  clamp depth to [1,5], dedup order-preserving, classify domain
+  seeds, enqueue (master.py:101-145);
+- ``GET /search``  — the §2.8 grammar over the postings table
+  (master.py:165-213), JSON rows ``{"pageUrl": ..., "frequency": ...}``;
+- ``GET /monitor`` — node liveness + counters (master.py:219-242);
+- ``GET /health``  — ``{"status": "healthy"}`` (master.py:68-70).
+
+``CrawlService`` offers the same verbs as plain Python over
+``CrawlRun`` — no HTTP server needed in-sandbox; any web framework
+can mount these four methods 1:1.
+
+Lifecycle divergence (documented): the reference accepts new jobs at
+any time because workers poll queues forever; the engine's round loop
+fixes the JOB DIM at init, so ``start_job`` accumulates jobs before
+the first ``crawl()`` and later submissions feed ``add_urls`` (the
+S10 dynamic-url source) against an existing job.
+
+Datamuse spell suggestions (master.py:85) stay out of scope: external
+network API, no sandbox equivalent; only the top-5 ``limit`` shape
+exists in the search path.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.crawl import CrawlRun
+from .oracle import CrawlConfig
+
+__all__ = ["CrawlService", "parse_seed_submission"]
+
+
+def parse_seed_submission(manual_text: str | None, file_text: str | None) -> list[str]:
+    """master.py:109-117: newline-split both sources, strip, drop
+    blanks, dedup preserving order (``dict.fromkeys``)."""
+    urls: list[str] = []
+    for blob in (manual_text, file_text):
+        if blob:
+            urls.extend(u.strip() for u in blob.splitlines())
+    return list(dict.fromkeys(u for u in urls if u))
+
+
+class CrawlService:
+    """The reference master's lifecycle as a library."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        pages_path: str,
+        robots_df: DataFrame,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.pages_path = pages_path
+        self.robots_df = robots_df
+        self.cfg = cfg or CrawlConfig()
+        self.run = CrawlRun(spark, root, self.cfg)
+        self._pending: list[dict] = []
+        self._started = False
+
+    # -- POST /jobs (master.py:101-145) --------------------------------------
+
+    def start_job(
+        self,
+        manual_text: str | None = None,
+        file_text: str | None = None,
+        depth_limit: int = 2,
+        job_id_prefix: str | None = None,
+    ) -> dict:
+        """Submit crawl jobs — ONE job per seed url, exactly like the
+        reference (master.py:124-141 mints a uuid per url and returns
+        ``jobIds``).  Depth clamping (F8) and domain classification
+        (F7) happen in CrawlRun.init (master.py:104-107,127-128)."""
+        seeds = parse_seed_submission(manual_text, file_text)
+        if not seeds:
+            return {"error": "No seed URLs provided"}  # master.py:119
+        if self._started:
+            # post-start submissions are dynamic urls (S10) against the
+            # first job's config; the reference's always-on workers
+            # would take fresh jobs any time — our round loop pins the
+            # job dim at init (documented divergence)
+            jid = self._first_job()
+            self.run.add_seeds(seeds, job_id=jid, depth=1)
+            return {"jobIds": [jid], "seeds": len(seeds), "dynamic": True}
+        job_ids = []
+        for u in seeds:
+            jid = (
+                f"{job_id_prefix}-{len(job_ids):04d}" if job_id_prefix else str(uuid.uuid4())
+            )
+            self._pending.append(
+                {"job_id": jid, "seed_url": u, "depth_limit": depth_limit,
+                 "seed_idx": len(self._pending)}
+            )
+            job_ids.append(jid)
+        return {"jobIds": job_ids, "seeds": len(seeds)}
+
+    def _first_job(self) -> str:
+        return self.run._jobs_df.select("job_id").head(1)[0][0]
+
+    # -- crawl loop -----------------------------------------------------------
+
+    def crawl(self, max_rounds: int | None = None) -> list[dict]:
+        """Drain the frontier (the workers' poll loop, compressed)."""
+        if not self._started:
+            assert self._pending, "start_job first"
+            seeds_df = self.spark.createDataFrame(
+                pd.DataFrame(self._pending),
+                schema="job_id string, seed_url string, depth_limit int, seed_idx int",
+            )
+            self.run.init(self.pages_path, self.robots_df, seeds_df)
+            self._started = True
+        return self.run.run(max_rounds=max_rounds)
+
+    # -- GET /search (master.py:165-213) --------------------------------------
+
+    def search(self, query: str, limit: int | None = None) -> list[dict]:
+        """Returns ``[{"pageUrl", "frequency"}]`` ranked (O1)."""
+        df = self.run.search(query, limit=limit)
+        return [
+            {"pageUrl": r["url"], "frequency": r["frequency"]} for r in df.collect()
+        ]
+
+    # -- GET /monitor (master.py:219-242) --------------------------------------
+
+    def monitor(self) -> dict:
+        """Latest round's counters + per-partition parse lineage — the
+        heartbeat table reshaped as data (C6)."""
+        m = self.run.monitor_df()
+        if m is None:
+            return {"round": None, "counters": {}, "partitions": []}
+        rows = m.collect()
+        rnd = rows[0]["round"] if rows else None
+        counters = {
+            r["key"]: r["value"] for r in rows if r["stage"] == "round"
+        }
+        partitions = [
+            {"partition_id": r["partition_id"], "key": r["key"], "value": r["value"]}
+            for r in rows
+            if r["stage"] != "round"
+        ]
+        return {"round": rnd, "counters": counters, "partitions": partitions}
+
+    # -- GET /health (master.py:68-70) -----------------------------------------
+
+    def health(self) -> dict:
+        try:
+            self.spark.sql("SELECT 1").collect()
+            committed = self.run.metrics.last_round()
+            return {
+                "status": "healthy",
+                "rounds_done": (committed + 1) if committed is not None else 0,
+                "started": self._started,
+            }
+        except Exception as e:  # pragma: no cover - session death
+            return {"status": "unhealthy", "error": str(e)}

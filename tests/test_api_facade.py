@@ -1,0 +1,75 @@
+"""Smoke test for the reference-verb façade (api.CrawlService):
+start-job -> crawl -> search -> monitor -> health in one lifecycle,
+mirroring the master's four HTTP verbs (master.py:68-242)."""
+
+import pandas as pd
+
+from cloud_based_web_crawling_indexing_system_spark.api import (
+    CrawlService,
+    parse_seed_submission,
+)
+from cloud_based_web_crawling_indexing_system_spark.oracle import (
+    CrawlConfig,
+    crawl_oracle,
+    search_oracle,
+)
+
+
+def test_parse_seed_submission_order_preserving_dedup():
+    # master.py:117 list(dict.fromkeys(manual + file))
+    got = parse_seed_submission(
+        "http://a/\n\n http://b/ \nhttp://a/", "http://c/\nhttp://b/"
+    )
+    assert got == ["http://a/", "http://b/", "http://c/"]
+    assert parse_seed_submission(None, None) == []
+
+
+def test_full_lifecycle(spark, tiny_corpus):
+    import tempfile
+
+    seeds_pdf = pd.read_parquet(tiny_corpus["seeds"])
+    manual = "\n".join(seeds_pdf.seed_url)
+    svc = CrawlService(
+        spark,
+        tempfile.mkdtemp(prefix="svc"),
+        tiny_corpus["pages"],
+        spark.read.parquet(tiny_corpus["robots"]),
+        CrawlConfig(round_budget_s=1e9),
+    )
+    # POST /jobs: empty submission errors like master.py:118-119
+    assert "error" in svc.start_job("")
+    job = svc.start_job(manual_text=manual, depth_limit=2)
+    # one job per seed url, like master.py:124-141
+    assert len(job["jobIds"]) == job["seeds"] == len(set(seeds_pdf.seed_url))
+
+    metrics = svc.crawl()
+    assert metrics and sum(m["n_fetched"] for m in metrics) > 0
+
+    # GET /search matches the oracle over the same corpus
+    cfg = CrawlConfig(round_budget_s=1e9, depth_clamp=(1, 5))
+    oracle = crawl_oracle(
+        pd.read_parquet(tiny_corpus["pages"]),
+        pd.read_parquet(tiny_corpus["robots"]),
+        pd.read_parquet(tiny_corpus["seeds"]).assign(depth_limit=2),
+        cfg,
+    )
+    got = svc.search("data engine", limit=10)
+    exp = [
+        {"pageUrl": u, "frequency": f}
+        for u, f in search_oracle(oracle.postings, "data engine")[:10]
+    ]
+    assert got == exp
+
+    mon = svc.monitor()
+    assert mon["round"] == metrics[-1]["round"]
+    assert mon["counters"]["n_in"] == metrics[-1]["n_in"]
+    assert any(p["key"] == "n_parsed" for p in mon["partitions"]) or metrics[-1]["n_fetched"] == 0
+
+    h = svc.health()
+    assert h["status"] == "healthy" and h["rounds_done"] == len(metrics)
+
+    # post-start submission becomes a dynamic url append (S10)
+    pages = pd.read_parquet(tiny_corpus["pages"])
+    seen = {r["pageUrl"] for r in svc.search("data or engine or running")}
+    dyn = svc.start_job(manual_text=pages.url.iloc[-1])
+    assert dyn.get("dynamic") is True
