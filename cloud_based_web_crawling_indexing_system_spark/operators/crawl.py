@@ -140,7 +140,11 @@ class CrawlRun:
                     "seed_idx": int(r.seed_idx),
                 }
             )
-            seen_rows.append({"url_hash": h, "url": url, "first_round": 0})
+            if cfg.dedup == "discovery":
+                # discovery-time seen; in index mode the seen table is
+                # the INDEXED set and starts empty (seeds dedup via the
+                # local set above, like master.py's dict.fromkeys)
+                seen_rows.append({"url_hash": h, "url": url, "first_round": 0})
 
         jobs_pdf = pd.DataFrame(jobs_rows)
         jobs_pdf.to_parquet(os.path.join(self.root, "jobs.parquet"), index=False)
@@ -386,10 +390,30 @@ class CrawlRun:
             .withColumn("tries", F.col("tries") + 1)
             .select(*FRONTIER_COLS)
         )
+        obs_retry = Observation()
+        retry = retry.observe(obs_retry, F.count(F.lit(1)).alias("n_retry"))
+
+        # Cloud compat mode (D2): dedup at INDEX time — a url may be
+        # fetched many times (discovered_count counts re-fetches,
+        # crawler_worker.py:171-177) but is indexed once via the
+        # seen_urls claim (indexer_worker.py:105-132).  First-processed
+        # wins with the oracle's canonical tie order.
+        if cfg.dedup == "index":
+            seen_idx = self.seen.read_all(upto=r)
+            w_idx = Window.partitionBy("url_hash").orderBy("depth", "job_id", "seed_idx")
+            first = (
+                parsed.withColumn("_rn", F.row_number().over(w_idx))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            indexed = filter_new(first, seen_idx, self._bloom)
+            indexed.persist()  # consumed by postings, texts, seen
+        else:
+            indexed = parsed  # discovery dedup means every fetch is new
 
         # index (P4-P6, A1): per-page counts happen inside the UDF —
         # map-side only, NO shuffle for the counting step.
-        tf = parsed.withColumn("t", term_freqs_udf("index_text")).select(
+        tf = indexed.withColumn("t", term_freqs_udf("index_text")).select(
             "job_id",
             "url",
             "url_hash",
@@ -452,33 +476,41 @@ class CrawlRun:
         cand.persist()
         t0 = _mark("plan", t0)
 
-        # D1/D2/J4: bloom prefilter + exact anti-join vs seen, then
-        # first-discoverer-wins within the batch (deterministic key).
-        # upto=r bounds the read to committed rounds: a crash may have
-        # left a stale seen(r+1) from the interrupted attempt, which
-        # must not leak into the replay's dedup.
-        seen_df = self.seen.read_all(upto=r)
-        new_cand = filter_new(cand, seen_df, self._bloom)
-        w = Window.partitionBy("url_hash").orderBy(
-            "parent_host_hash", "parent_depth", "parent_url", "link_pos"
-        )
-        new_children = (
-            new_cand.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "job_id",
-                F.col("child_url").alias("url"),
-                "url_hash",
-                F.col("child_host").alias("host"),
-                F.col("child_host_hash").alias("host_hash"),
-                (F.col("parent_depth") + 1).alias("depth"),
-                F.lit(0).alias("tries"),
-                "seed_idx",
+        _child_cols = [
+            "job_id",
+            F.col("child_url").alias("url"),
+            "url_hash",
+            F.col("child_host").alias("host"),
+            F.col("child_host_hash").alias("host_hash"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.lit(0).alias("tries"),
+            "seed_idx",
+        ]
+        if cfg.dedup == "index":
+            # Cloud compat: NO visited check at discovery — every
+            # candidate re-enters the frontier (crawler_worker.py has
+            # no seen probe); dedup already happened at the index stage
+            new_children = cand.select(*_child_cols)
+        else:
+            # D1/D2/J4: bloom prefilter + exact anti-join vs seen, then
+            # first-discoverer-wins within the batch (deterministic
+            # key).  upto=r bounds the read to committed rounds: a
+            # crash may have left a stale seen(r+1) from the
+            # interrupted attempt, which must not leak into the
+            # replay's dedup.
+            seen_df = self.seen.read_all(upto=r)
+            new_cand = filter_new(cand, seen_df, self._bloom)
+            w = Window.partitionBy("url_hash").orderBy(
+                "parent_host_hash", "parent_depth", "parent_url", "link_pos"
             )
-        )
-        # persisted so the concurrent seen(r+1) and frontier(r+1) writes
-        # share ONE evaluation of the anti-join + dedup window
-        new_children.persist()
+            new_children = (
+                new_cand.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(*_child_cols)
+            )
+            # persisted so the concurrent seen(r+1) and frontier(r+1)
+            # writes share ONE evaluation of the anti-join + dedup window
+            new_children.persist()
 
         next_frontier = deferred.unionByName(retry).unionByName(new_children)
         # cluster the next round by host so the politeness window and
@@ -494,7 +526,13 @@ class CrawlRun:
         # metrics(r) marker — the only commit that flips the round to
         # "done" — is strictly AFTER all of them, so a crash anywhere
         # in the parallel group still replays the whole round.
-        new_seen = new_children.select("url_hash", "url", F.lit(r + 1).alias("first_round"))
+        if cfg.dedup == "index":
+            # seen = the INDEXED set; first_round = the round indexed
+            new_seen = indexed.select("url_hash", "url", F.lit(r).alias("first_round"))
+        else:
+            new_seen = new_children.select(
+                "url_hash", "url", F.lit(r + 1).alias("first_round")
+            )
         from concurrent.futures import ThreadPoolExecutor
 
         # postings compaction (A2 at scale): every compact_every rounds
@@ -526,7 +564,7 @@ class CrawlRun:
             futs = [
                 pool.submit(self.postings.write_round, r, postings_delta),
                 pool.submit(self.texts.write_round, r,
-                            parsed.select("url", "text", "index_text")),
+                            indexed.select("url", "text", "index_text")),
                 # repartition (NOT coalesce): coalesce(1) would collapse
                 # the window+anti-join subplan into a single task
                 pool.submit(self.seen.write_round, r + 1,
@@ -569,10 +607,10 @@ class CrawlRun:
         # derived counts come straight from committed parquet footers
         # via pyarrow — driver-side metadata reads, zero Spark jobs
         n_new = self.seen.count_round(r + 1)
-        n_next = self.frontier.count_round(r + 1)
         n_postings = self.postings.count_round(r)
-        n_retry = n_next - n_deferred - n_new
+        n_retry = _obs(obs_retry, "n_retry")
         n_failed = (n_admitted - n_fetched) - n_retry
+        n_indexed = n_new if cfg.dedup == "index" else n_fetched
         # per-partition parse lineage for free: the texts round was
         # written one file per parse partition, so its parquet footers
         # ARE the per-partition row counts
@@ -581,7 +619,7 @@ class CrawlRun:
             for k, v in [
                 ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
                 ("n_fetched", n_fetched), ("n_missed", n_retry), ("n_failed", n_failed),
-                ("n_disc", n_disc), ("n_new", n_new), ("n_indexed", n_fetched),
+                ("n_disc", n_disc), ("n_new", n_new), ("n_indexed", n_indexed),
                 ("n_postings", n_postings),
             ]
         ] + [
@@ -600,13 +638,15 @@ class CrawlRun:
             self._bloom.rebuild(self.seen.read_all(), self._seen_total())
         t0 = _mark("metrics_bloom", t0)
 
-        for df in (decided, parsed, cand, new_children):
+        cached = [decided, parsed, cand]
+        cached.append(indexed if cfg.dedup == "index" else new_children)
+        for df in cached:
             df.unpersist()
 
         out = {
             "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
             "n_fetched": n_fetched, "n_missed": n_retry, "n_failed": n_failed,
-            "n_disc": n_disc, "n_new": n_new, "n_indexed": n_fetched,
+            "n_disc": n_disc, "n_new": n_new, "n_indexed": n_indexed,
             "n_postings": n_postings, "done": False,
         }
         if os.environ.get("CBWCIS_PROFILE"):

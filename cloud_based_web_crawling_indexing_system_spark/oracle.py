@@ -62,6 +62,14 @@ class CrawlConfig:
     depth_clamp: tuple[int, int] = (1, 5)  # master.py:107
     canonicalization: str = "reference"  # or "full"
     politeness: bool = True
+    # "discovery" = Local-pipeline semantics (visited check before
+    # enqueue, Local/master.py:190-194) — the scalable default.
+    # "index" = Cloud-pipeline compat (crawler has NO visited check so
+    # every popped url is fetched and its children re-pushed,
+    # crawler_worker.py:171-177; dedup happens at INDEX time via the
+    # seen_urls claim, indexer_worker.py:105-132).  discovered_count
+    # then counts re-fetches, exactly like the Cloud jobs table.
+    dedup: str = "discovery"
     use_bloom: bool = True  # engine-only: bloom prefilter before the exact anti-join
     # engine-only: the bloom tier activates once |seen| crosses this —
     # below it the exact anti-join alone is cheaper than maintaining
@@ -109,6 +117,7 @@ def crawl_oracle(
 
     res = OracleResult()
     frontier: list[dict] = []  # rows of the *current* round
+    seed_hashes: set[str] = set()
 
     # --- seed submission -------------------------------------------------
     jobs: dict[str, dict] = {}
@@ -122,9 +131,11 @@ def crawl_oracle(
         }
         url = _canon(cfg, r.seed_url)
         h = url_md5(url)
-        if h in res.seen:
-            continue  # order-preserving seed dedup (D3) + global seen
-        res.seen[h] = (url, 0)
+        if h in seed_hashes:
+            continue  # order-preserving seed dedup (D3)
+        seed_hashes.add(h)
+        if cfg.dedup == "discovery":
+            res.seen[h] = (url, 0)  # + global seen at discovery time
         frontier.append(
             {"job_id": r.job_id, "url": url, "url_hash": h,
              "host": urlparse(url).netloc, "depth": 0, "tries": 0, "seed_idx": r.seed_idx}
@@ -132,8 +143,15 @@ def crawl_oracle(
 
     rnd = 0
     while frontier and rnd < cfg.max_rounds:
-        # canonical order (SURVEY §2.7 O4)
-        frontier.sort(key=lambda row: (host_hash31(row["host"]), row["depth"], row["url"]))
+        # canonical order (SURVEY §2.7 O4); (job_id, seed_idx) refine
+        # ties, which only exist in index-dedup mode where the same url
+        # can sit in one round under several jobs
+        frontier.sort(
+            key=lambda row: (
+                host_hash31(row["host"]), row["depth"], row["url"],
+                row["job_id"], row["seed_idx"],
+            )
+        )
         for row in frontier:
             res.frontier_log.append({"round": rnd, **{k: row[k] for k in
                                      ("job_id", "url", "url_hash", "host", "depth", "tries")}})
@@ -185,22 +203,33 @@ def crawl_oracle(
                 continue
             m["n_fetched"] += 1
             page = html.decode("utf-8", errors="replace")
-            crawl_text = extract_text_crawl(page)
-            index_text = extract_text_index(crawl_text)
-            res.crawl_texts[row["url"]] = crawl_text
-            res.texts[row["url"]] = index_text.encode("utf-8")
 
-            # index (P4-P6, A1)
-            tf = term_freqs(index_text)
-            for term, freq in tf:
-                res.postings.append(
-                    {"term": term, "job_id": row["job_id"], "url": row["url"],
-                     "url_hash": row["url_hash"], "frequency": freq}
-                )
-            m["n_indexed"] += 1
-            m["n_postings"] += len(tf)
+            # index stage: in discovery mode every fetched url is new
+            # by construction; in Cloud compat mode the seen_urls claim
+            # happens HERE (D2, indexer_worker.py:105-132) and repeats
+            # skip indexing but still fetched + re-push children
+            do_index = True
+            if cfg.dedup == "index":
+                if row["url_hash"] in res.seen:
+                    do_index = False
+                else:
+                    res.seen[row["url_hash"]] = (row["url"], rnd)
+                    m["n_new"] += 1
+            if do_index:
+                crawl_text = extract_text_crawl(page)
+                index_text = extract_text_index(crawl_text)
+                res.crawl_texts[row["url"]] = crawl_text
+                res.texts[row["url"]] = index_text.encode("utf-8")
+                tf = term_freqs(index_text)  # P4-P6, A1
+                for term, freq in tf:
+                    res.postings.append(
+                        {"term": term, "job_id": row["job_id"], "url": row["url"],
+                         "url_hash": row["url_hash"], "frequency": freq}
+                    )
+                m["n_indexed"] += 1
+                m["n_postings"] += len(tf)
 
-            # discover children (P1, F2-F5, D1)
+            # discover children (P1, F2-F5; D1 only in discovery mode)
             job = jobs[row["job_id"]]
             if row["depth"] < job["depth_limit"]:
                 for link in extract_links(page, row["url"]):
@@ -212,10 +241,11 @@ def crawl_oracle(
                     child = _canon(cfg, link)
                     h = url_md5(child)
                     m["n_disc"] += 1
-                    if h in res.seen:
-                        continue  # D1 discovery-time dedup
-                    res.seen[h] = (child, rnd + 1)
-                    m["n_new"] += 1
+                    if cfg.dedup == "discovery":
+                        if h in res.seen:
+                            continue  # D1 discovery-time dedup
+                        res.seen[h] = (child, rnd + 1)
+                        m["n_new"] += 1
                     next_frontier.append(
                         {"job_id": row["job_id"], "url": child, "url_hash": h,
                          "host": urlparse(child).netloc, "depth": row["depth"] + 1,

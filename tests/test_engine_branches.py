@@ -97,6 +97,60 @@ def test_default_delay_knob_engine_oracle_parity(spark, corpus, tmp_path):
     )
 
 
+def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
+    """dedup='index' reproduces the Cloud pipeline's semantics: no
+    visited check in the crawler (urls re-fetched, discovered_count
+    counts re-fetches, crawler_worker.py:171-177), dedup via the
+    seen_urls claim at INDEX time (indexer_worker.py:105-132)."""
+    cfg = CrawlConfig(round_budget_s=1e9, dedup="index")
+    pages = pd.read_parquet(corpus["pages"])
+    robots = pd.read_parquet(corpus["robots"])
+    seeds = pd.read_parquet(corpus["seeds"]).assign(depth_limit=2)
+
+    run = CrawlRun(spark, str(tmp_path / "cloudmode"), cfg)
+    run.init(
+        corpus["pages"],
+        spark.read.parquet(corpus["robots"]),
+        spark.createDataFrame(seeds),
+    )
+    em = run.run()
+    oracle = crawl_oracle(pages, robots, seeds, cfg)
+
+    # per-round metric parity, incl. the Cloud counter semantics
+    assert len(em) == len(oracle.metrics)
+    for e, o in zip(em, oracle.metrics):
+        for k in ("n_in", "n_fetched", "n_disc", "n_new", "n_indexed",
+                  "n_missed", "n_failed", "n_blocked", "n_deferred"):
+            assert e[k] == o[k], f"round {o['round']} {k}: {e[k]} != {o[k]}"
+    # discovered_count (the Cloud jobs counter) counts RE-fetches:
+    # strictly more fetches than unique indexed pages
+    total_fetched = sum(m["n_fetched"] for m in em)
+    total_indexed = sum(m["n_indexed"] for m in em)
+    assert total_fetched > total_indexed > 0
+
+    # seen = the INDEXED set with index-round attribution
+    got_seen = {r["url_hash"]: (r["url"], r["first_round"]) for r in run.seen_df().collect()}
+    assert got_seen == oracle.seen
+
+    # postings/texts identical (each url indexed exactly once)
+    got_p = {(r["term"], r["job_id"], r["url"]): r["frequency"] for r in run.postings_df().collect()}
+    exp_p = {}
+    for p in oracle.postings:
+        k = (p["term"], p["job_id"], p["url"])
+        exp_p[k] = exp_p.get(k, 0) + p["frequency"]
+    assert got_p == exp_p
+    got_t = {r["url"]: r["index_text"] for r in run.texts_df().collect()}
+    assert set(got_t) == set(oracle.texts)
+    for url, b in oracle.texts.items():
+        assert got_t[url].encode("utf-8") == b
+
+    # the two dedup modes converge to the same INDEXED page set
+    # (SURVEY §2.3); discovery-mode seen additionally holds urls whose
+    # fetch always fails (seen at discovery, never indexable)
+    disc = crawl_oracle(pages, robots, seeds, CrawlConfig(round_budget_s=1e9))
+    assert {u for u, _ in got_seen.values()} == set(disc.texts.keys())
+
+
 def test_shuffled_fetch_fallback_identical(spark, corpus, tmp_path):
     base = _run(spark, tmp_path / "bcast", corpus, CrawlConfig(round_budget_s=1e9))
     forced = _run(
