@@ -698,7 +698,14 @@ def q24(spark, sf_dir):
     candidate near-dup pairs = docs sharing >= 1 band bucket.  The
     shingle->minhash->band->bucket-join pipeline of SURVEY-scale dedup,
     fully engine-agnostic hashes."""
-    sh = _shingles_df(spark, sf_dir)
+    # MIN over duplicates == MIN over distinct: the minhash aggregation
+    # needs no shingle-dedup shuffle (the SQL oracle's DISTINCT in the
+    # shared CTE is a no-op for MIN), so this is groupBy-only
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("shingle"))
+    )
     mh = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{j}|"), F.col("shingle")), "utf-8"))).alias(f"mh{j}")
         for j in range(_MH_K)
