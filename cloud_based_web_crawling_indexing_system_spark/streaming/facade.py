@@ -13,6 +13,11 @@ Two streaming surfaces:
   table (the C6 heartbeat/monitor view, §3.3): tail the metric rows
   as they commit and maintain running per-stage aggregates.
 
+- ``host_stats_stream``: a CUSTOM STATEFUL operator via
+  ``applyInPandasWithState`` — per-host cumulative counts + latest
+  capture time held in the checkpointed state store, surviving
+  restarts; the streaming form of the per-host crawl counters.
+
 Both are driven to completion in tests with availableNow triggers /
 ``processAllAvailable`` (no long-running daemons in CI).
 """
@@ -55,6 +60,67 @@ def page_ingest_stream(
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def host_stats_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-host cumulative page counts + latest capture time, state kept
+    in the checkpointed state store across triggers AND restarts —
+    the streaming form of the per-host crawl counters (C6/A3), i.e.
+    what a live politeness/rate controller would consume.
+
+    Arrow-batched like every other per-row path in the engine; the
+    host key comes from the JVM's parse_url, so the Python side only
+    folds counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+        .select(
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            F.col("warc_ts").cast("long").alias("ts"),
+        )
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        total, last_ts = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                last_ts = max(last_ts, int(pdf["ts"].max()))
+        state.update((total, last_ts))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_pages": [total], "last_ts": [last_ts]}
+        )
+
+    out = stream.groupBy("host").applyInPandasWithState(
+        fold,
+        outputStructType="host string, n_pages long, last_ts long",
+        stateStructType="total long, last_ts long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def sink(batch_df, epoch_id: int) -> None:
+        # foreachBatch is the checkpoint-recoverable sink for update
+        # mode (the memory sink cannot resume); appends are idempotent
+        # enough here because readers take the max per host
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

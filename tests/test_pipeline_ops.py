@@ -123,6 +123,53 @@ def test_multimodal_decode_and_frames(spark):
     assert frames and all(f["frame_idx"] % 5 == 0 for f in frames)
 
 
+def test_stateful_host_stats_stream(spark, tiny_corpus, tmp_path):
+    """applyInPandasWithState: per-host cumulative counts accumulate
+    across triggers AND across query restarts (state store survives
+    via the checkpoint)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_web_crawling_indexing_system_spark.streaming.facade import (
+        host_stats_stream,
+    )
+
+    src = str(tmp_path / "hs_drops")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "hs_ckpt")
+    out = str(tmp_path / "hs_out")
+    shutil.copy(tiny_corpus["pages"], os.path.join(src, "d1.parquet"))
+    q = host_stats_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    batch = {
+        r["host"]: r["cnt"]
+        for r in spark.read.parquet(tiny_corpus["pages"])
+        .groupBy(F.expr("parse_url(url, 'HOST')").alias("host"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+
+    def totals():
+        return {
+            r["host"]: r["n_pages"]
+            for r in spark.read.parquet(out)
+            .groupBy("host")
+            .agg(F.max("n_pages").alias("n_pages"))
+            .collect()
+        }
+
+    assert totals() == batch
+
+    # restart with a second (duplicate) drop: the state store resumes
+    # from the checkpoint, so per-host totals double
+    shutil.copy(tiny_corpus["pages"], os.path.join(src, "d2.parquet"))
+    q2 = host_stats_stream(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    assert totals() == {h: 2 * n for h, n in batch.items()}
+
+
 def test_streaming_page_ingest_and_metrics(spark, tiny_corpus, tmp_path):
     from cloud_based_web_crawling_indexing_system_spark.streaming.facade import (
         live_metrics_stream,
