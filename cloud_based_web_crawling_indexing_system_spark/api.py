@@ -67,7 +67,12 @@ class CrawlService:
         self.cfg = cfg or CrawlConfig()
         self.run = CrawlRun(spark, root, self.cfg)
         self._pending: list[dict] = []
-        self._started = False
+        # a root with committed state is a crawl to RESUME: a restarted
+        # service must never re-init() over it (that would replace the
+        # job dim and round-0 tables under a mid-crawl frontier)
+        import os
+
+        self._started = os.path.isfile(os.path.join(root, "state.json"))
 
     # -- POST /jobs (master.py:101-145) --------------------------------------
 

@@ -236,6 +236,14 @@ class CrawlRun:
             schema="job_id string, url string, url_hash string, host string, "
             "host_hash long, depth int, tries int, seed_idx int",
         )
+        if self.cfg.dedup == "index":
+            # Cloud compat: the seen table is the INDEXED set — marking
+            # an injected url seen here would block it from ever being
+            # indexed.  No discovery dedup either (the crawler has no
+            # visited check); just append to the frontier.
+            merged_frontier = cur.unionByName(new_df).localCheckpoint(eager=True)
+            self.frontier.write_round(rnd, merged_frontier)
+            return
         new_df = filter_new(new_df, seen_df, None)
         # localCheckpoint materializes the union BEFORE the replace-
         # write deletes the directory it reads from
@@ -244,15 +252,19 @@ class CrawlRun:
         add_seen = new_df.select(
             "url_hash", "url", F.lit(rnd).alias("first_round")
         )
-        # materialize BEFORE the replace-write below rewrites the seen
+        # materialize BEFORE the replace-writes below rewrite the seen
         # dirs this lineage reads from
         add_seen = add_seen.localCheckpoint(eager=True)
+        if self._bloom is not None:
+            # bloom bits BEFORE the seen commit: a crash in between
+            # leaves the bloom AHEAD (harmless false positives); the
+            # reverse order would leave it BEHIND -> false negatives
+            # -> silent duplicate crawling
+            self._bloom.add_positions_df(add_seen)
         prev_seen = self.seen.read_round(rnd).drop("round") if rnd in self.seen.committed_rounds() else None
         merged = add_seen if prev_seen is None else prev_seen.unionByName(add_seen)
         merged = merged.localCheckpoint(eager=True)
         self.seen.write_round(rnd, merged)
-        if self._bloom is not None:
-            self._bloom.add_positions_df(add_seen)
 
     # -- the round ---------------------------------------------------------
 
@@ -573,15 +585,18 @@ class CrawlRun:
             ]
             if compact_state is not None:
                 futs.append(pool.submit(self.postings_state.write_round, r, compact_state))
-            if self._bloom is not None:
-                # bloom shard update overlaps the commits and lands
-                # BEFORE the round marker: a crash replays the round
-                # and re-ORs the same bits (idempotent); the bloom can
-                # only run AHEAD of the seen table, never behind —
-                # extra bits are false positives the exact join resolves
-                futs.append(pool.submit(self._bloom.add_positions_df, new_seen))
             for fut in futs:
                 fut.result()  # propagate failures BEFORE the marker
+
+        if self._bloom is not None:
+            # bloom shard update AFTER the pool (its directory swap
+            # must not race sibling jobs whose cogrouped-prefilter
+            # lineage reads the shard table) and BEFORE the round
+            # marker: a crash replays the round and re-ORs the same
+            # bits (idempotent), so the bloom only ever runs AHEAD of
+            # a COMPLETED round — extra bits are false positives the
+            # exact join resolves
+            self._bloom.add_positions_df(new_seen)
         t0 = _mark("commit", t0)
 
         # the commit jobs materialized every observed dataframe, so the
@@ -593,8 +608,12 @@ class CrawlRun:
         def _obs(observation, key: str) -> int:
             try:
                 return int(observation.get[key] or 0)
-            except Exception:
-                return 0
+            except Exception as e:
+                # ONLY the AQE-pruned case reads as zeros; anything
+                # else (job failure, Py4J transport error) must surface
+                if "assertion failed" in str(e):
+                    return 0
+                raise
 
         n_passing = _obs(obs_dec, "n_decided")
         n_admitted = _obs(obs_dec, "n_admitted")

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["admit_defer"]
 
-ORDER_COLS = ["depth", "url"]  # canonical within-host order (priority=depth)
+# canonical within-host order (priority=depth); (job_id, seed_idx)
+# refine ties, which only exist in dedup='index' mode where the same
+# url can sit in one round under several jobs — without them the
+# admit/defer split of duplicates would be shuffle-layout-dependent
+ORDER_COLS = ["depth", "url", "job_id", "seed_idx"]
 
 
 def admit_defer(

@@ -32,10 +32,11 @@ never holds or builds the bit array.  Probe paths:
   candidate side (the right trade below the cap);
 - m/8  > broadcast_cap_bytes: partition-local probe — candidates
   cogroup with the shard table on shard id, so each task holds only
-  its shards' bits.  At 10^10 keys (m = 1.6e11 bits, 20 GB packed —
+  its shards' bits.  At 10^10 keys (m = 2^38 bits, 32 GiB packed —
   far beyond any broadcast) this is the only residency that works:
-  ~5 MB per shard at 4096 shards, co-partitioned with the anti-join
-  that follows.
+  the shard count scales with m (shards_for) so each shard stays
+  ~1 MiB packed (32768 shards at 2^38), co-partitioned with the
+  anti-join that follows.
 
 Both paths produce identical decisions (property-tested), and
 no-bloom equals bloom end-to-end (the exact join is authoritative).
@@ -65,6 +66,7 @@ __all__ = ["BloomSeen", "position_cols", "bloom_m_for"]
 K = 4  # hash probes per key
 BITS_PER_KEY = 16  # m/n target -> FP ~= 0.24% at K=4
 M_MIN = 1 << 20
+SHARD_BITS_TARGET = 1 << 23  # ~1 MiB packed per shard
 
 
 def bloom_m_for(n_keys: int) -> int:
@@ -72,6 +74,13 @@ def bloom_m_for(n_keys: int) -> int:
     10^10 keys -> 2^38 bits (32 GiB packed across shards)."""
     need = max(M_MIN, n_keys * BITS_PER_KEY)
     return 1 << (need - 1).bit_length()
+
+
+def shards_for(m: int) -> int:
+    """Shard count scaled with m so per-shard bitmaps stay ~1 MiB
+    packed regardless of filter size (2^38 bits -> 32768 shards);
+    floor of 64 keeps small filters parallel."""
+    return max(64, m // SHARD_BITS_TARGET)
 
 
 def _salted_slice(url_hash_col: str, salt: str, n_hex: int) -> F.Column:
@@ -105,17 +114,17 @@ class BloomSeen:
         spark,
         path: str,
         m_bits: int = M_MIN,
-        n_shards: int = 64,
+        n_shards: int | None = None,
         broadcast_cap_bytes: int = 1 << 26,
     ):
         self.spark = spark
         self.path = path  # parquet dir: (shard int, bits binary) + _meta.json
-        self.n_shards = n_shards
+        self.n_shards = n_shards if n_shards is not None else shards_for(m_bits)
         self.broadcast_cap_bytes = broadcast_cap_bytes
         self.m = m_bits
         self.n_keys = 0
         self._bc = None
-        self._load_meta()
+        self._load_meta()  # persisted layout (m, n_shards) wins
 
     # -- persistence -------------------------------------------------------
 
@@ -129,6 +138,10 @@ class BloomSeen:
                 meta = json.load(f)
             self.m = int(meta["m"])
             self.n_keys = int(meta["n_keys"])
+            # n_shards defines the hash layout: an instance opened over
+            # persisted shards MUST use the layout they were built with
+            # (probing with a different shard count reads wrong bits)
+            self.n_shards = int(meta["n_shards"])
 
     def _write_meta(self) -> None:
         tmp = self._meta_path + ".tmp"
@@ -182,9 +195,11 @@ class BloomSeen:
                 acc |= np.frombuffer(b, dtype=np.uint8)
             p = pdf.loc[pdf["p"] >= 0, "p"].to_numpy(dtype=np.int64)
             if len(p):
-                local = np.zeros(shard_size, dtype=bool)
-                local[p] = True
-                acc |= np.packbits(local)
+                # scatter-OR on the packed array directly (MSB-first):
+                # O(len(p)) work and no shard_size-sized bool buffer
+                np.bitwise_or.at(
+                    acc, p >> 3, (1 << (7 - (p & 7))).astype(np.uint8)
+                )
             # new-key count rides in the output so sizing needs no
             # extra count() action (K positions per key)
             return pd.DataFrame(
@@ -217,8 +232,10 @@ class BloomSeen:
 
     def rebuild(self, seen_df: DataFrame | None, n_keys: int) -> None:
         """Resize to fit ``n_keys`` and rebuild from the authoritative
-        seen table (one aggregation job)."""
+        seen table (one aggregation job).  The shard count re-scales
+        with m so per-shard bitmaps stay bounded (~1 MiB packed)."""
         self.m = bloom_m_for(n_keys)
+        self.n_shards = shards_for(self.m)
         self.n_keys = 0
         self._bc = None
         if os.path.isdir(self.path):

@@ -144,6 +144,37 @@ def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
     for url, b in oracle.texts.items():
         assert got_t[url].encode("utf-8") == b
 
+    # throttled variant: with a BINDING politeness budget the admit/
+    # defer split of duplicate-url frontier entries must use the total
+    # canonical order (depth, url, job_id, seed_idx) — metric parity
+    # with the oracle proves the engine ties break identically
+    cfg_tight = CrawlConfig(round_budget_s=6.0, dedup="index", max_rounds=6)
+    run2 = CrawlRun(spark, str(tmp_path / "cloudtight"), cfg_tight)
+    run2.init(
+        corpus["pages"],
+        spark.read.parquet(corpus["robots"]),
+        spark.createDataFrame(seeds),
+    )
+    em2 = run2.run()
+    o2 = crawl_oracle(pages, robots, seeds, cfg_tight)
+    assert sum(m["n_deferred"] for m in em2) > 0  # budget actually bound
+    for e, o in zip(em2, o2.metrics):
+        for k in ("n_in", "n_deferred", "n_fetched", "n_new", "n_indexed"):
+            assert e[k] == o[k], f"tight round {o['round']} {k}: {e[k]} != {o[k]}"
+    got2 = {r["url_hash"]: (r["url"], r["first_round"]) for r in run2.seen_df().collect()}
+    assert got2 == o2.seen
+
+    # dynamic url injection in index mode: must NOT pre-mark seen
+    # (seen = the indexed set) — the url gets fetched AND indexed
+    uncrawled = next(
+        u for u in pages.url
+        if u not in {v[0] for v in got2.values()} and pages.set_index("url").loc[u] is not None
+    )
+    run2.add_seeds([uncrawled], job_id=seeds.job_id.iloc[0], depth=1)
+    run2.run(max_rounds=cfg_tight.max_rounds + 4)
+    t2 = run2.texts_df()
+    assert t2.where(t2.url == uncrawled).count() == 1
+
     # the two dedup modes converge to the same INDEXED page set
     # (SURVEY §2.3); discovery-mode seen additionally holds urls whose
     # fetch always fails (seen at discovery, never indexable)

@@ -96,10 +96,31 @@ def test_growth_rebuild_keeps_keys_and_sizes_m(spark, tmp_path):
 
 def test_persistence_across_instances(spark, tmp_path):
     path = str(tmp_path / "persist")
-    a = BloomSeen(spark, path, m_bits=1 << 20)
+    # non-default shard layout: a reopening instance MUST adopt the
+    # persisted n_shards (probing with a different layout reads wrong
+    # bits -> false negatives -> silent duplicate crawling)
+    a = BloomSeen(spark, path, m_bits=1 << 20, n_shards=128)
     a.add_positions_df(spark.createDataFrame(_keys(0, 500)))
-    # a fresh instance reads meta + shards from disk, no rebuild needed
     b = BloomSeen(spark, path)
     assert b.exists() and b.m == a.m and b.n_keys == 500
+    assert b.n_shards == 128
     got = b.prefilter(spark.createDataFrame(_keys(0, 500))).collect()
+    assert all(r["_maybe_seen"] for r in got)
+
+
+def test_shard_count_scales_with_m(spark, tmp_path):
+    from cloud_based_web_crawling_indexing_system_spark.operators.seen import (
+        SHARD_BITS_TARGET,
+        shards_for,
+    )
+
+    assert shards_for(1 << 20) == 64  # floor
+    assert shards_for(1 << 38) == (1 << 38) // SHARD_BITS_TARGET == 32768
+    # rebuild rescales the layout and keys survive
+    bloom = BloomSeen(spark, str(tmp_path / "rescale"), m_bits=1 << 20)
+    df = spark.createDataFrame(_keys(0, 400))
+    bloom.add_positions_df(df)
+    bloom.rebuild(df, n_keys=(1 << 26) // BITS_PER_KEY)  # force m = 2^26
+    assert bloom.m == 1 << 26 and bloom.n_shards == 64
+    got = bloom.prefilter(spark.createDataFrame(_keys(0, 400))).collect()
     assert all(r["_maybe_seen"] for r in got)
