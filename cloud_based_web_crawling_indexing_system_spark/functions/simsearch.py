@@ -214,6 +214,39 @@ def ivf_topk(
     )
 
 
+def srp_band_buckets(
+    embeddings: DataFrame,
+    n_bands: int = 3,
+    planes_per_band: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded SRP-LSH: (id, band, bucket) rows, one per band, from ONE
+    pass (exploded literal struct array).  Candidates sharing ANY
+    band's bucket are near-dup candidates — recall 1-(1-p^k)^b instead
+    of the single-band p^(k·b), the standard LSH amplification."""
+    planes = srp_planes(dim, n_bands * planes_per_band)
+    entries = []
+    for band in range(n_bands):
+        bucket = None
+        for i in range(planes_per_band):
+            coeffs = planes[band * planes_per_band + i]
+            arr = "array(" + ",".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
+            dot = F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(
+            F.struct(F.lit(band).alias("band"), bucket.cast("int").alias("bucket"))
+        )
+    return embeddings.select(
+        id_col, F.explode(F.array(*entries)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

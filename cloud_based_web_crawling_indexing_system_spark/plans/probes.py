@@ -908,18 +908,21 @@ def q28(spark, sf_dir):
 _STOPWORDS = ("the", "a")
 
 
-def _srp_bucket_sql(n_planes: int, dim: int) -> str:
+def _srp_bucket_sql(n_planes: int, dim: int, offset: int = 0, n_total: int | None = None) -> str:
     """The SRP bucket as DuckDB SQL: the hyperplanes are deterministic
     md5-derived ±1 literals (functions/simsearch.srp_planes), so the
-    exact bucketing is SQL-expressible — emit them as literal arrays."""
+    exact bucketing is SQL-expressible — emit them as literal arrays.
+    ``offset``/``n_total`` select a band's plane slice."""
     from ..functions.simsearch import srp_planes
 
+    planes = srp_planes(dim, n_total if n_total is not None else offset + n_planes)
     parts = []
-    for p, coeffs in enumerate(srp_planes(dim, n_planes)):
+    for i in range(n_planes):
+        coeffs = planes[offset + i]
         arr = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in coeffs) + "]"
         parts.append(
             f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
+            f"THEN {1 << i} ELSE 0 END)"
         )
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
@@ -1006,6 +1009,67 @@ def q34(spark, sf_dir):
         F.round("cosine", 4).alias("cosine"),
         F.col("rk").cast("long").alias("rk"),
     ).orderBy("query_id", "rk")
+
+
+_Q35_BANDS = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    f"{_srp_bucket_sql(3, 64, offset=3 * b, n_total=9)} AS bucket FROM embeddings"
+    for b in range(3)
+)
+
+
+@probe(
+    "q35_embedding_neardup_lsh",
+    f"""
+    WITH bands AS (
+      {_Q35_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT vec_a, vec_b, {_cos_sql('q.embedding', 'e.embedding')} AS cos
+      FROM cand JOIN embeddings q ON q.vec_id = vec_a
+                JOIN embeddings e ON e.vec_id = vec_b)
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
+    FROM pairs WHERE cos > 0.4 ORDER BY vec_a, vec_b
+    """,
+)
+def q35(spark, sf_dir):
+    """Embedding near-dup at scale: banded SRP-LSH (3 bands x 3
+    planes) bucket equi-join replaces q28's O(N²) cross join —
+    candidates share ANY band's bucket (the standard 1-(1-p^k)^b
+    amplification), then the exact cosine threshold filters.  This is
+    the route a 100 TB dedup pipeline defaults to (q28 stays as the
+    exactness baseline; recall vs it asserted in
+    tests/test_pipeline_ops.py)."""
+    from ..functions.simsearch import srp_band_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bands = srp_band_buckets(emb, n_bands=3, planes_per_band=3, dim=64)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    q = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    e = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cosine_expr("ea", "eb")
+    return (
+        cand.join(q, "vec_a")
+        .join(e, "vec_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") > 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 @probe(

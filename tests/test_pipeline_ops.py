@@ -110,6 +110,25 @@ def test_ivf_recall_and_determinism(spark):
     assert all(0 <= cell < 8 for _, cell in a1)
 
 
+def test_lsh_neardup_recall_vs_exact(spark):
+    """q35 (SRP-bucketed near-dup) finds a subset of q28 (all-pairs)
+    with nonzero recall — the scale route is sound."""
+    from cloud_based_web_crawling_indexing_system_spark.plans import probes
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in probes.registry()["q28_embedding_neardup_pairs"](spark, SF).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in probes.registry()["q35_embedding_neardup_lsh"](spark, SF).collect()
+    }
+    assert lsh <= exact  # LSH candidates pass the same exact threshold
+    # banded amplification: 3 bands x 3 planes -> recall 1-(1-p^3)^3,
+    # p = 1 - acos(cos)/pi >= 0.63 at the 0.4 threshold -> >= ~0.55
+    assert exact and len(lsh) / len(exact) > 0.4
+
+
 def test_multimodal_decode_and_frames(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
     media = attach_blob(docs, "text", "doc_id", kind="video")
