@@ -38,6 +38,9 @@ HEADLINE = [
     "q25_simhash_signatures",
     "q27_knn_cosine_top5",
     "q31_blob_stats",
+    "q33_srp_ann_topk",
+    "q34_ivf_ann_topk",
+    "q35_embedding_neardup_lsh",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
