@@ -52,7 +52,15 @@ def canonicalize_full(link: str) -> str:
         _, netloc = netloc.rsplit("@", 1)  # strip userinfo
     if ":" in netloc:
         host, _, port = netloc.rpartition(":")
-        if port == _DEFAULT_PORTS.get(p.scheme.lower(), ""):
+        # strip the port if it is the default for EITHER the original
+        # or the folded scheme: https://h:80/ folds to http, where :80
+        # IS default — keeping it would make canonicalization
+        # non-idempotent (a second pass would strip it), splitting the
+        # seen set between equivalent spellings
+        if port and port in (
+            _DEFAULT_PORTS.get(p.scheme.lower()),
+            _DEFAULT_PORTS.get(scheme),
+        ):
             netloc = host
     if netloc.startswith("www."):
         netloc = netloc[4:]

@@ -113,7 +113,11 @@ class CrawlRun:
         from ..functions.urlnorm import canonicalize_full, host_hash31, url_md5
 
         for r in seeds.itertuples():
-            p = urlparse(r.seed_url)
+            url = canonicalize_full(r.seed_url) if cfg.canonicalization == "full" else r.seed_url
+            # job config from the CANONICAL seed in full mode: the F3
+            # same-host gate compares canonical child hosts, so a raw
+            # www./:port seed netloc would reject every child
+            p = urlparse(url)
             jobs_rows.append(
                 {
                     "job_id": r.job_id,
@@ -122,7 +126,6 @@ class CrawlRun:
                     "domain": p.path in ("", "/"),  # F7
                 }
             )
-            url = canonicalize_full(r.seed_url) if cfg.canonicalization == "full" else r.seed_url
             h = url_md5(url)
             if h in seen_hashes:
                 continue  # D3 order-preserving dedup + global seen

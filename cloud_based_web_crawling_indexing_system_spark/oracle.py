@@ -123,13 +123,15 @@ def crawl_oracle(
     jobs: dict[str, dict] = {}
     for r in seeds.sort_values("seed_idx").itertuples():
         depth_limit = max(cfg.depth_clamp[0], min(int(r.depth_limit), cfg.depth_clamp[1]))
-        p = urlparse(r.seed_url)
+        url = _canon(cfg, r.seed_url)
+        # job config from the CANONICAL seed (full mode): F3 compares
+        # canonical child hosts, so the raw netloc would reject them
+        p = urlparse(url)
         jobs[r.job_id] = {
             "depth_limit": depth_limit,
             "seed_netloc": p.netloc,
             "domain": p.path in ("", "/"),
         }
-        url = _canon(cfg, r.seed_url)
         h = url_md5(url)
         if h in seed_hashes:
             continue  # order-preserving seed dedup (D3)
