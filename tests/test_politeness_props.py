@@ -94,3 +94,50 @@ def test_politeness_off_drains_faster():
     # >= the un-throttled depth — descendants can drop out at the depth
     # limit but never appear from nowhere: throttled seen ⊆ open seen
     assert set(slow.seen.keys()) <= set(fast.seen.keys())
+
+
+def test_salted_window_equals_unsalted(spark):
+    """The salted two-phase rank (mega-host skew path, taken when a
+    round is large) must produce EXACTLY the unsalted window's
+    admit/defer decisions — phase 2 sees every salt's top-budget rows,
+    so no admissible row can be lost."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_web_crawling_indexing_system_spark.operators.politeness import (
+        admit_defer,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    hosts = [f"h{i}" for i in range(9)]
+    budgets = {h: rng.randint(1, 6) for h in hosts}
+    budgets["h0"] = 2  # mega-host: many rows, tiny budget
+    for i in range(3000):
+        h = "h0" if i % 2 == 0 else rng.choice(hosts)
+        rows.append(
+            (h, rng.randint(0, 4), f"http://{h}.org/p{rng.randint(0, 10_000):05d}",
+             budgets[h], f"job{i % 3}", i % 7)
+        )
+    df = spark.createDataFrame(
+        rows, "host string, depth int, url string, budget int, job_id string, seed_idx int"
+    ).dropDuplicates(["host", "depth", "url", "job_id", "seed_idx"])
+
+    def decisions(salts):
+        out = admit_defer(df, "budget", salts=salts)
+        return sorted(
+            (r["host"], r["depth"], r["url"], r["job_id"], r["seed_idx"], r["admitted"])
+            for r in out.collect()
+        )
+
+    unsalted = decisions(1)
+    assert decisions(8) == unsalted
+    assert decisions(3) == unsalted
+    # budgets actually bind: every host admits exactly min(budget, n)
+    import collections
+
+    per_host = collections.Counter(h for h, *_rest, adm in unsalted if adm)
+    n_host = collections.Counter(h for h, *_ in unsalted)
+    for h in n_host:
+        assert per_host[h] == min(budgets[h], n_host[h])
