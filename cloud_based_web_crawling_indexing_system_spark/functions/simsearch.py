@@ -33,6 +33,7 @@ __all__ = [
     "brute_force_topk",
     "srp_planes",
     "srp_lsh_buckets",
+    "srp_band_buckets",
     "ann_topk",
     "ivf_centroids",
     "ivf_assign",
@@ -90,6 +91,22 @@ def srp_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def _srp_bucket_col(planes: list[list[float]], vec_col: str) -> Column:
+    """Integer SRP signature over a plane slice — ONE shared builder
+    for every bucketing variant, so the dot/sign arithmetic can never
+    diverge between q33/q35's Spark sides (and their SQL oracles)."""
+    bucket = None
+    for i, coeffs in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def srp_lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -97,17 +114,9 @@ def srp_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Adds an integer ``bucket`` column = SRP bit signature."""
-    planes = srp_planes(dim, n_planes)
-    bucket = None
-    for p, coeffs in enumerate(planes):
-        arr = "array(" + ",".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return embeddings.withColumn("bucket", bucket.cast("int"))
+    return embeddings.withColumn(
+        "bucket", _srp_bucket_col(srp_planes(dim, n_planes), vec_col)
+    )
 
 
 def _lit_vec(vals: list[float]) -> str:
@@ -229,18 +238,12 @@ def srp_band_buckets(
     planes = srp_planes(dim, n_bands * planes_per_band)
     entries = []
     for band in range(n_bands):
-        bucket = None
-        for i in range(planes_per_band):
-            coeffs = planes[band * planes_per_band + i]
-            arr = "array(" + ",".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
-            dot = F.expr(
-                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
+        band_planes = planes[band * planes_per_band : (band + 1) * planes_per_band]
         entries.append(
-            F.struct(F.lit(band).alias("band"), bucket.cast("int").alias("bucket"))
+            F.struct(
+                F.lit(band).alias("band"),
+                _srp_bucket_col(band_planes, vec_col).alias("bucket"),
+            )
         )
     return embeddings.select(
         id_col, F.explode(F.array(*entries)).alias("bb")

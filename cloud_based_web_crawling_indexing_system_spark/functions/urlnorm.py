@@ -57,7 +57,9 @@ def canonicalize_full(link: str) -> str:
         # IS default — keeping it would make canonicalization
         # non-idempotent (a second pass would strip it), splitting the
         # seen set between equivalent spellings
-        if port and port in (
+        # an EMPTY port ('http://h:/') is RFC-3986-equivalent to no
+        # port at all — strip the bare colon too
+        if port == "" or port in (
             _DEFAULT_PORTS.get(p.scheme.lower()),
             _DEFAULT_PORTS.get(scheme),
         ):

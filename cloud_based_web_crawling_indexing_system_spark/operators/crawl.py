@@ -130,7 +130,7 @@ class CrawlRun:
             if h in seen_hashes:
                 continue  # D3 order-preserving dedup + global seen
             seen_hashes.add(h)
-            host = urlparse(url).netloc
+            host = p.netloc
             frontier_rows.append(
                 {
                     "job_id": r.job_id,
@@ -465,12 +465,18 @@ class CrawlRun:
                 ),
             )
             .where(F.col("l.link_schemes").isin("http", "https"))  # F2
-            .where(F.col("domain") | (F.col("l.link_hosts") == F.col("seed_netloc")))  # F3
         )
         if cfg.canonicalization == "full":
-            cand = kids.withColumn("child_url", canon_full_udf(F.col("l.links")))
-            meta = cand.withColumn("m", url_meta_udf("child_url"))
-            cand = meta.select(
+            # canonicalize BEFORE the F3 gate: both sides of the
+            # same-host comparison must be in the canonical regime
+            # (seed_netloc is canonical since init), otherwise
+            # www./:port spellings of same-host links get rejected
+            meta = kids.withColumn(
+                "child_url", canon_full_udf(F.col("l.links"))
+            ).withColumn("m", url_meta_udf("child_url"))
+            cand = meta.where(
+                F.col("domain") | (F.col("m.host") == F.col("seed_netloc"))  # F3
+            ).select(
                 "job_id", "seed_idx", "parent_depth", "parent_url", "parent_host_hash",
                 "link_pos", "child_url",
                 F.col("m.host").alias("child_host"),
@@ -478,7 +484,9 @@ class CrawlRun:
                 F.col("m.host_hash").alias("child_host_hash"),
             )
         else:
-            cand = kids.select(
+            cand = kids.where(
+                F.col("domain") | (F.col("l.link_hosts") == F.col("seed_netloc"))  # F3
+            ).select(
                 "job_id", "seed_idx", "parent_depth", "parent_url", "parent_host_hash",
                 "link_pos",
                 F.col("l.links").alias("child_url"),

@@ -140,7 +140,7 @@ def crawl_oracle(
             res.seen[h] = (url, 0)  # + global seen at discovery time
         frontier.append(
             {"job_id": r.job_id, "url": url, "url_hash": h,
-             "host": urlparse(url).netloc, "depth": 0, "tries": 0, "seed_idx": r.seed_idx}
+             "host": p.netloc, "depth": 0, "tries": 0, "seed_idx": r.seed_idx}
         )
 
     rnd = 0
@@ -238,9 +238,12 @@ def crawl_oracle(
                     pp = urlparse(link)
                     if pp.scheme not in ("http", "https"):
                         continue  # F2
-                    if not job["domain"] and pp.netloc != job["seed_netloc"]:
-                        continue  # F3
                     child = _canon(cfg, link)
+                    # F3 compares hosts in the canonical regime (in
+                    # reference mode _canon is identity, so this is
+                    # exactly the raw comparison)
+                    if not job["domain"] and urlparse(child).netloc != job["seed_netloc"]:
+                        continue  # F3
                     h = url_md5(child)
                     m["n_disc"] += 1
                     if cfg.dedup == "discovery":

@@ -35,12 +35,15 @@ _queries = st.lists(st.tuples(_qkeys, _qkeys), min_size=0, max_size=4).map(
 )
 
 
+from hypothesis import example
+
+
 @st.composite
 def urls(draw):
     scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
     www = draw(st.sampled_from(["", "www.", "WWW."]))
     host = draw(_hosts)
-    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    port = draw(st.sampled_from(["", ":", ":80", ":443", ":8080"]))
     path = draw(_paths)
     q = draw(_queries)
     frag = draw(st.sampled_from(["", "#top", "#a/b"]))
@@ -49,6 +52,8 @@ def urls(draw):
 
 @settings(max_examples=300, deadline=None)
 @given(urls())
+@example("https://0.0.org:80/")  # regression: port stripped vs ORIGINAL scheme only
+@example("http://a.b.org:/")  # regression: bare empty port kept the colon
 def test_canonicalize_full_idempotent(u):
     c = canonicalize_full(u)
     assert canonicalize_full(c) == c
