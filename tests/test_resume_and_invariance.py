@@ -199,3 +199,21 @@ def test_postings_compaction_equivalence_and_crash(spark, micro_corpus, tmp_path
     resumed.run()
     got = _snapshot(resumed)
     assert got == want
+
+
+def test_index_mode_parallelism_invariance(spark, micro_corpus, tmp_path):
+    """Cloud-compat dedup mode is as parallelism-invariant as the
+    default: identical results at different shuffle widths (duplicate
+    frontier entries make total tie orders load-bearing here)."""
+    cfg = CrawlConfig(round_budget_s=8.0, dedup="index", max_rounds=5)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _fresh_run(spark, tmp_path / "ip3", micro_corpus, cfg)
+        a.run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _fresh_run(spark, tmp_path / "ip17", micro_corpus, cfg)
+        b.run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _snapshot(a) == _snapshot(b)
