@@ -788,6 +788,16 @@ def q25(spark, sf_dir):
     """,
 )
 def q26(spark, sf_dir):
+    """n-gram Jaccard pairs via shingle equi-join (the standard
+    pairwise route).  100 TB note: a shingle appearing in d docs emits
+    d² join rows, so HOT shingles (boilerplate n-grams) skew the
+    shuffle — production pipelines cap shingle document-frequency
+    first (drop shingles with df > τ; they carry no discriminative
+    signal, standard in MinHash/SimHash dedup literature) or salt the
+    hot keys; AQE skew-join splitting handles the residual.  The
+    probe keeps the uncapped semantics so the DuckDB oracle is exact;
+    q24 (banded MinHash) is the route that avoids the d² blowup
+    entirely."""
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
