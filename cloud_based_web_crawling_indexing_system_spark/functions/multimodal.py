@@ -32,32 +32,38 @@ _DECODED_SCHEMA = (
 )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+def _fake_decode(digest: bytes) -> tuple[int, int, int]:
     """STUB — deterministic fake decode (no codec in this image).
     Derives plausible (width, height, channels) from the content hash
     so tests are stable; replace with a real decoder in production."""
-    h = hashlib.sha256(blob).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4
+    return 64 + digest[0] % 192, 64 + digest[1] % 192, 1 + digest[2] % 4
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:
     """mapInPandas decode stage: binary in, typed metadata out.
     Arrow-batched; per-partition iterator keeps memory bounded even
-    for multi-MB blobs."""
+    for multi-MB blobs.  The blob is hashed ONCE per row — the sha
+    column and the fake dims both derive from that digest."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = pdf["blob"]
-            dims = [_fake_decode(bytes(b)) if b is not None else (0, 0, 0) for b in blobs]
+            n_bytes, shas, dims = [], [], []
+            for b in pdf["blob"]:
+                if b is None:
+                    n_bytes.append(0)
+                    shas.append(None)
+                    dims.append((0, 0, 0))
+                    continue
+                h = hashlib.sha256(bytes(b))
+                n_bytes.append(len(b))
+                shas.append(h.hexdigest())
+                dims.append(_fake_decode(h.digest()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(b) if b is not None else 0 for b in blobs],
-                    "sha": [
-                        hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
-                        for b in blobs
-                    ],
+                    "n_bytes": n_bytes,
+                    "sha": shas,
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_channels": [d[2] for d in dims],

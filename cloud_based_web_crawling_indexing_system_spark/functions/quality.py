@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .terms import WORD_RE
+from .text_ops import stopword_count
 
 __all__ = ["lang_id", "lang_id_udf", "quality_cols", "token_count_cols", "fingerprint_col"]
 
@@ -67,7 +68,7 @@ def quality_cols(tokens_col: str, text_col: str) -> list[Column]:
     """Length / punctuation / stopword-ratio quality features —
     all built-in expressions (no Python)."""
     n_tok = F.size(tokens_col)
-    n_stop = F.expr(f"size(filter({tokens_col}, t -> t IN ('the','a','and','of','to')))")
+    n_stop = stopword_count(tokens_col, ["the", "a", "and", "of", "to"])
     n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[\.,;:!\?]", ""))
     mean_tok_len = F.when(
         n_tok > 0,
@@ -86,7 +87,11 @@ def quality_cols(tokens_col: str, text_col: str) -> list[Column]:
 def token_count_cols(text_col: str) -> list[Column]:
     """Whitespace tokens vs word-regex tokens vs a BPE-ish
     subword-piece count (regex splitting on letter/digit boundaries)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # split('') yields [''] (size 1): empty/whitespace-only text must
+    # count 0, consistent with the word-regex counter
+    ws = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     words = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0))
     bpe_ish = F.size(
         F.regexp_extract_all(

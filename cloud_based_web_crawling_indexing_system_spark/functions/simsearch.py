@@ -43,6 +43,11 @@ __all__ = [
 
 
 def _dot(a: str, b: str) -> Column:
+    """THE dot product — one sequential fold shared by every cosine /
+    SRP-sign expression in this module, so the float op sequence (and
+    therefore DuckDB-oracle parity of q27/q33/q34/q35) can never
+    diverge between call sites.  ``b`` may be a column name or a
+    literal array SQL fragment (CAST of a DOUBLE is a no-op)."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -97,11 +102,7 @@ def _srp_bucket_col(planes: list[list[float]], vec_col: str) -> Column:
     diverge between q33/q35's Spark sides (and their SQL oracles)."""
     bucket = None
     for i, coeffs in enumerate(planes):
-        arr = "array(" + ",".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+        dot = _dot(vec_col, _lit_vec(coeffs))
         bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
@@ -129,11 +130,7 @@ def _cos_lit(vec_col: str, vals: list[float]) -> Column:
     """cosine(vec_col, literal centroid) — same sequential-fold dot
     product as cosine_expr; the centroid norm is a Python-side constant
     (same left-to-right double adds as an engine-side fold)."""
-    arr = _lit_vec(vals)
-    dot = F.expr(
-        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    dot = _dot(vec_col, _lit_vec(vals))
     nc = 0.0
     for v in vals:
         nc += float(v) * float(v)

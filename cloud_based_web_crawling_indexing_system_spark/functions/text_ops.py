@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "bigrams", "shingles", "minhash_cols", "simhash16", "stopword_count"]
+__all__ = [
+    "tokens",
+    "bigrams",
+    "shingles",
+    "minhash_cols",
+    "simhash16",
+    "simhash_combine",
+    "stopword_count",
+]
 
 _WORD = r"\w+"
 

@@ -167,6 +167,12 @@ def url_meta_udf(url: pd.Series) -> pd.DataFrame:
     31-bit host hash used for frontier partitioning/ordering."""
     hashes, schemes, hosts, hh = [], [], [], []
     for u in url:
+        if u is None:  # null-safe like every sibling UDF here
+            hashes.append(None)
+            schemes.append(None)
+            hosts.append(None)
+            hh.append(None)
+            continue
         hashes.append(url_md5(u))
         s, h, _ = split_url(u)
         schemes.append(s)
@@ -177,4 +183,4 @@ def url_meta_udf(url: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(T.StringType())
 def canon_full_udf(url: pd.Series) -> pd.Series:
-    return url.map(canonicalize_full)
+    return url.map(lambda u: canonicalize_full(u) if u is not None else None)

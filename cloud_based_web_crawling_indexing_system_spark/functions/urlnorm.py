@@ -10,10 +10,14 @@ Two modes:
   match the reference.
 
 - ``full``: RFC 3986 superset for the 10^10-scale seen-set — lowercase
-  scheme/host, drop default ports, percent-decode unreserved chars,
-  uppercase remaining %XX, sort query params (stable by key then
-  value), fold leading ``www.``, fold https->http scheme, remove
-  fragment, collapse empty path to ``/``.  Used when
+  scheme/host, drop default ports, percent-decode UNRESERVED chars
+  only (6.2.2.2 — reserved ones like %2F stay encoded: a slash inside
+  a segment is NOT a path separator), uppercase remaining %XX, sort
+  query params (stable by key then value), fold leading ``www.``
+  labels, fold https->http scheme, remove fragment, empty path to
+  ``/``.  Every operation is idempotent and maps RFC-equivalent
+  spellings (and the www/scheme equivalence classes the north-star
+  adds) to ONE key without conflating distinct resources.  Used when
   ``CrawlConfig.canonicalization == 'full'``.
 
 Pure functions shared by the Arrow UDFs and the oracle.
@@ -23,11 +27,27 @@ from __future__ import annotations
 
 import hashlib
 import re
-from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse, unquote, quote
+import string
+from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
 
 __all__ = ["canonicalize_reference", "canonicalize_full", "url_md5", "host_hash31", "split_url"]
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+_UNRESERVED = frozenset(string.ascii_letters + string.digits + "-._~")
+
+
+def _pct_normalize(s: str) -> str:
+    """RFC 3986 6.2.2: decode %XX only when the octet is UNRESERVED,
+    uppercase the hex of the rest.  Reserved chars stay encoded (a
+    %2F is data, not a path separator); invalid %-sequences pass
+    through untouched (no lossy U+FFFD folding).  Idempotent."""
+
+    def fix(m: re.Match) -> str:
+        h = m.group(1)
+        ch = chr(int(h, 16))
+        return ch if ch in _UNRESERVED else "%" + h.upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", fix, s)
 
 
 def canonicalize_reference(link: str) -> str:
@@ -64,13 +84,11 @@ def canonicalize_full(link: str) -> str:
             _DEFAULT_PORTS.get(scheme),
         ):
             netloc = host
-    if netloc.startswith("www."):
-        netloc = netloc[4:]
-    # percent-normalize path: decode unreserved, re-quote the rest
-    path = quote(unquote(p.path), safe="/:@!$&'()*+,;=~-._")
+    while netloc.startswith("www."):
+        netloc = netloc[4:]  # fold EVERY leading www. label (idempotent)
+    path = _pct_normalize(p.path)
     if path == "":
         path = "/"
-    path = re.sub(r"/{2,}", "/", path)
     query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
     return urlunparse((scheme, netloc, path, p.params, query, ""))
 

@@ -102,7 +102,17 @@ def test_term_freqs_unigram_bigram():
 def test_urlnorm():
     assert url_md5("http://a/") == "e9565a2bbe055ef1a77c7a2aec0a0ad1" or len(url_md5("http://a/")) == 32
     assert 0 <= host_hash31("h.example") < 2**31
-    assert canonicalize_full("HTTPS://WWW.Ex.com:443/a%7Eb//c?b=2&a=1#f") == "http://ex.com/a~b/c?a=1&b=2"
+    assert canonicalize_full("HTTPS://WWW.Ex.com:443/a%7Eb//c?b=2&a=1#f") == "http://ex.com/a~b//c?a=1&b=2"
+    # reserved %XX stays encoded (RFC 3986 6.2.2.2: %2F is data, not a
+    # separator) but gets uppercase hex; unreserved decodes
+    assert canonicalize_full("http://h.org/a%2fb%41") == "http://h.org/a%2FbA"
+    # distinct resources must NOT conflate
+    assert canonicalize_full("http://h.org/a//b") != canonicalize_full("http://h.org/a/b")
+    assert canonicalize_full("http://h.org/a%2Fb") != canonicalize_full("http://h.org/a/b")
+    # every leading www. label folds (idempotence)
+    assert canonicalize_full("http://www.www.a.org/x") == "http://a.org/x"
+    # invalid %-sequence passes through, no lossy U+FFFD folding
+    assert canonicalize_full("http://h.org/a%zz") == "http://h.org/a%zz"
 
 
 def test_robots_rules():

@@ -54,6 +54,8 @@ def urls(draw):
 @given(urls())
 @example("https://0.0.org:80/")  # regression: port stripped vs ORIGINAL scheme only
 @example("http://a.b.org:/")  # regression: bare empty port kept the colon
+@example("http://www.www.a.org/x")  # regression: single-prefix www fold
+@example("http://a.b.org/p%2Fq%41%zz")  # reserved/unreserved/invalid %-seqs
 def test_canonicalize_full_idempotent(u):
     c = canonicalize_full(u)
     assert canonicalize_full(c) == c
