@@ -100,8 +100,13 @@ class CrawlService:
             return {"jobIds": [jid], "seeds": len(seeds), "dynamic": True}
         job_ids = []
         for u in seeds:
+            # index by the GLOBAL pending count: a per-call counter
+            # would mint duplicate ids across multiple submissions,
+            # fanning out the job-config broadcast join
             jid = (
-                f"{job_id_prefix}-{len(job_ids):04d}" if job_id_prefix else str(uuid.uuid4())
+                f"{job_id_prefix}-{len(self._pending):04d}"
+                if job_id_prefix
+                else str(uuid.uuid4())
             )
             self._pending.append(
                 {"job_id": jid, "seed_url": u, "depth_limit": depth_limit,
@@ -111,6 +116,8 @@ class CrawlService:
         return {"jobIds": job_ids, "seeds": len(seeds)}
 
     def _first_job(self) -> str:
+        if self.run._jobs_df is None:
+            self.run._load_dims()  # resumed service: dims not loaded yet
         return self.run._jobs_df.select("job_id").head(1)[0][0]
 
     # -- crawl loop -----------------------------------------------------------
@@ -118,7 +125,8 @@ class CrawlService:
     def crawl(self, max_rounds: int | None = None) -> list[dict]:
         """Drain the frontier (the workers' poll loop, compressed)."""
         if not self._started:
-            assert self._pending, "start_job first"
+            if not self._pending:
+                raise ValueError("start_job first: no seeds submitted")
             seeds_df = self.spark.createDataFrame(
                 pd.DataFrame(self._pending),
                 schema="job_id string, seed_url string, depth_limit int, seed_idx int",
@@ -130,7 +138,11 @@ class CrawlService:
     # -- GET /search (master.py:165-213) --------------------------------------
 
     def search(self, query: str, limit: int | None = None) -> list[dict]:
-        """Returns ``[{"pageUrl", "frequency"}]`` ranked (O1)."""
+        """Returns ``[{"pageUrl", "frequency"}]`` ranked (O1); empty
+        list before anything is indexed (the reference returns [] for
+        an empty index, master.py:213)."""
+        if self.run.postings_df() is None:
+            return []
         df = self.run.search(query, limit=limit)
         return [
             {"pageUrl": r["url"], "frequency": r["frequency"]} for r in df.collect()

@@ -67,7 +67,11 @@ def _host_name(i: int) -> str:
 def _zipf_host_sizes(rng: Random, n_hosts: int, n_pages: int) -> list[int]:
     """Mega-host gets ~1/3 of pages; the rest Zipf(1.1)-ish; every
     host gets >=1 page."""
-    mega = max(1, n_pages // 3)
+    if n_hosts < 1 or n_pages < n_hosts:
+        raise ValueError(f"need n_pages >= n_hosts >= 1, got {n_hosts=} {n_pages=}")
+    if n_hosts == 1:
+        return [n_pages]
+    mega = max(1, min(n_pages // 3, n_pages - (n_hosts - 1)))
     rest = n_pages - mega - (n_hosts - 1)
     weights = [1.0 / ((i + 2) ** 1.1) for i in range(n_hosts - 1)]
     wsum = sum(weights)
@@ -79,6 +83,7 @@ def _zipf_host_sizes(rng: Random, n_hosts: int, n_pages: int) -> list[int]:
         sizes[1 + (i % (n_hosts - 1))] += 1
         leftover -= 1
         i += 1
+    assert sum(sizes) == n_pages
     return sizes
 
 
@@ -116,7 +121,9 @@ def _page_html(rng: Random, host: str, path: str, lang: str, hrefs: list[str],
 
 def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
                n_pages: int | None = None) -> dict[str, pd.DataFrame]:
-    cfg = SCALES.get(scale, SCALES["tiny"]).copy()
+    if scale not in SCALES:
+        raise ValueError(f"unknown scale {scale!r}; one of {sorted(SCALES)}")
+    cfg = SCALES[scale].copy()
     if n_hosts:
         cfg["n_hosts"] = n_hosts
     if n_pages:
@@ -233,16 +240,14 @@ def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
                 "job_id": str(uuid.UUID(int=seed * 1000 + i)),
                 "seed_url": su,
                 "depth_limit": [9, 4, 2, 3, 5][i % 5],  # 9 exercises the [1,5] clamp (F8)
-                "domain": (lambda p: p in ("", "/"))(su.split("://", 1)[1].partition("/")[1] and "/" + su.split("://", 1)[1].partition("/")[2] or "/"),
                 "seed_idx": i,
                 "created_at": _EPOCH,
             }
         )
-    # recompute domain properly with urlparse semantics
     from urllib.parse import urlparse
 
     for r in seed_rows:
-        r["domain"] = urlparse(r["seed_url"]).path in ("", "/")
+        r["domain"] = urlparse(r["seed_url"]).path in ("", "/")  # F7
     seeds = pd.DataFrame(seed_rows)
 
     robots = pd.DataFrame(robots_rows, columns=["host", "robots_txt", "crawl_delay"])

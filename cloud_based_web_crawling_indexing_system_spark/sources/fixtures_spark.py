@@ -128,7 +128,15 @@ def write_corpus_spark(
             [(hi, pi) for hi, sz in sizes.items() for pi in range(sz)],
             columns=["host_idx", "page_idx"],
         )
-    ).repartition(max(8, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+    ).repartitionByRange(
+        # range partitioning on the pure key makes the FILE layout (not
+        # just row content) deterministic across parallelism levels —
+        # plain repartition() round-robins from the input chunking,
+        # which varies with defaultParallelism
+        max(8, int(spark.conf.get("spark.sql.shuffle.partitions"))),
+        "host_idx",
+        "page_idx",
+    )
 
     def render(batches):
         sizes, dis, hosts, seed, para_words, n_paras, p_dangling = bc.value

@@ -87,7 +87,12 @@ class RoundTable:
             shutil.rmtree(rd)
         os.makedirs(rd, exist_ok=True)
         table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-        pq.write_table(table, os.path.join(rd, "part-00000.parquet"))
+        # write-then-rename so the file APPEARS atomically: a live
+        # reader (e.g. the streaming metrics monitor tailing data/)
+        # must never see a half-written parquet footer
+        tmp = os.path.join(rd, ".part-00000.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(rd, "part-00000.parquet"))
         os.makedirs(self._commit_dir, exist_ok=True)
         tmp = os.path.join(self._commit_dir, f".{rnd:06d}.json.tmp")
         with open(tmp, "w") as f:

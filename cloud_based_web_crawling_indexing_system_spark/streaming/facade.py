@@ -2,7 +2,7 @@
 "Structured Streaming + foreachBatch is an optional façade over the
 same round function").
 
-Two streaming surfaces:
+Three streaming surfaces:
 
 - ``page_ingest_stream``: continuous ingestion of new WARC-style page
   files into the corpus — readStream(parquet) with watermarked
@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["page_ingest_stream", "live_metrics_stream", "PAGES_SCHEMA"]
+__all__ = [
+    "page_ingest_stream",
+    "host_stats_stream",
+    "live_metrics_stream",
+    "PAGES_SCHEMA",
+]
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -129,9 +134,14 @@ def host_stats_stream(
 def live_metrics_stream(
     spark: SparkSession, metrics_data_dir: str, query_name: str = "crawl_monitor"
 ) -> StreamingQuery:
-    """Tail the crawl's committed metric rows; keep running totals per
-    (stage, key) in an in-memory table — the /monitor endpoint shape
-    (/root/reference/Cloud/scripts/master.py:219-242) as a stream."""
+    """Tail the crawl's metric rows as they land; keep running totals
+    per (stage, key) in an in-memory table — the /monitor endpoint
+    shape (/root/reference/Cloud/scripts/master.py:219-242) as a
+    stream.  Files appear atomically (lake.write_round_pandas renames
+    into place).  Monitor semantics, not a ledger: a crashed round's
+    rows are visible until its replay rewrites them, and the file
+    source keys by path so the (deterministic, identical) rewrite is
+    not re-read."""
     schema = "round int, partition_id int, stage string, key string, value long"
     stream = spark.readStream.schema(schema).parquet(metrics_data_dir)
     agg = stream.groupBy("stage", "key").agg(
