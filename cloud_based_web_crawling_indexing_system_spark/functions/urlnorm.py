@@ -90,7 +90,9 @@ def canonicalize_full(link: str) -> str:
     if path == "":
         path = "/"
     query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
-    return urlunparse((scheme, netloc, path, p.params, query, ""))
+    # path parameters (';key=v') get the same 6.2.2 treatment as the
+    # path — RFC-equivalent %XX spellings must map to one seen-set key
+    return urlunparse((scheme, netloc, path, _pct_normalize(p.params), query, ""))
 
 
 def url_md5(url: str) -> str:

@@ -618,13 +618,19 @@ class CrawlRun:
         # metric is exactly zero, so zeros are the correct fallback.
         def _obs(observation, key: str) -> int:
             try:
-                return int(observation.get[key] or 0)
+                got = observation.get
             except Exception as e:
                 # ONLY the AQE-pruned case reads as zeros; anything
-                # else (job failure, Py4J transport error) must surface
+                # else (job failure, Py4J transport error) must surface.
+                # 'assertion failed' is Spark's message for the pruned
+                # Observation — version-fragile, so the empty-metrics
+                # SHAPE below (missing key / empty dict) is also zero.
                 if "assertion failed" in str(e):
                     return 0
                 raise
+            if not got or key not in got:
+                return 0  # pruned CollectMetrics: empty row == all-zero
+            return int(got[key] or 0)
 
         n_passing = _obs(obs_dec, "n_decided")
         n_admitted = _obs(obs_dec, "n_admitted")
@@ -754,19 +760,22 @@ class CrawlRun:
         # the state write and the metrics marker leaves a checkpoint
         # ahead of the round log; it is rewritten identically on replay)
         done = self.metrics.last_round()
-        ck_rounds = [
-            x for x in self.postings_state.committed_rounds()
-            if done is not None and x <= done
-        ]
+        if done is None:
+            return None  # no COMPLETED round -> nothing queryable yet
+        ck_rounds = [x for x in self.postings_state.committed_rounds() if x <= done]
         ck = ck_rounds[-1] if ck_rounds else None
         if ck is None:
-            deltas = self.postings.read_all()
+            # upto=done everywhere: a crashed round's committed postings
+            # delta (postings written, metrics marker absent) must stay
+            # invisible until its replay completes — same visibility
+            # rule as the checkpoint filter above
+            deltas = self.postings.read_all(upto=done)
             if deltas is None:
                 return None
             deltas = deltas.drop("round")
         else:
             deltas = self.postings_state.read_round(ck).drop("round")
-            tail = self.postings.read_all(after=ck)
+            tail = self.postings.read_all(after=ck, upto=done)
             if tail is not None:
                 deltas = deltas.unionByName(tail.drop("round"))
         return deltas.groupBy("term", "job_id", "url", "url_hash").agg(

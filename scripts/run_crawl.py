@@ -25,7 +25,11 @@ def main() -> None:
     ap.add_argument("--corpus", required=True, help="dir with pages/robots/seeds parquet")
     ap.add_argument("--root", required=True, help="crawl state dir (resumes if present)")
     ap.add_argument("--round-budget", type=float, default=1e9)
-    ap.add_argument("--max-rounds", type=int, default=64)
+    ap.add_argument(
+        "--max-rounds", type=int, default=64,
+        help="TOTAL round-number ceiling (absolute, counts rounds already "
+        "committed in --root): a resume at round >= this runs zero rounds",
+    )
     ap.add_argument("--dedup", choices=["discovery", "index"], default="discovery")
     ap.add_argument("--canonicalization", choices=["reference", "full"], default="reference")
     ap.add_argument("--search", default=None, help="optional query to run after the crawl")
@@ -57,7 +61,8 @@ def main() -> None:
     t0 = time.time()
     # pass max_rounds EXPLICITLY: on resume the semantic knobs reload
     # from state.json (budget, dedup, canonicalization must not drift
-    # mid-crawl), but the round limit is per-invocation
+    # mid-crawl).  NOTE: run() treats this as an ABSOLUTE round-number
+    # ceiling, not a per-invocation increment — see --max-rounds help
     metrics = run.run(max_rounds=args.max_rounds)
     out = {
         "resumed": resumed,
