@@ -8,6 +8,9 @@ The reference master exposes four verbs over HTTP
   seeds, enqueue (master.py:101-145);
 - ``GET /search``  — the §2.8 grammar over the postings table
   (master.py:165-213), JSON rows ``{"pageUrl": ..., "frequency": ...}``;
+- ``GET /jobs/<job_id>`` — the jobs-table row incl. per-job
+  discovered/indexed counters (master.py:147-163);
+- ``GET /nodes``   — node-id -> alive/dead liveness map (master.py:215-217);
 - ``GET /monitor`` — node liveness + counters (master.py:219-242);
 - ``GET /health``  — ``{"status": "healthy"}`` (master.py:68-70).
 
@@ -30,8 +33,11 @@ from __future__ import annotations
 
 import uuid
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.crawl import CrawlRun
 from .oracle import CrawlConfig
@@ -70,8 +76,6 @@ class CrawlService:
         # a root with committed state is a crawl to RESUME: a restarted
         # service must never re-init() over it (that would replace the
         # job dim and round-0 tables under a mid-crawl frontier)
-        import os
-
         self._started = os.path.isfile(os.path.join(root, "state.json"))
 
     # -- POST /jobs (master.py:101-145) --------------------------------------
@@ -137,16 +141,81 @@ class CrawlService:
 
     # -- GET /search (master.py:165-213) --------------------------------------
 
-    def search(self, query: str, limit: int | None = None) -> list[dict]:
+    def search(
+        self, query: str, limit: int | None = 50, unbounded: bool = False
+    ) -> list[dict]:
         """Returns ``[{"pageUrl", "frequency"}]`` ranked (O1); empty
         list before anything is indexed (the reference returns [] for
-        an empty index, master.py:213)."""
+        an empty index, master.py:213).
+
+        Bounded by default: the reference SQL has no LIMIT
+        (master.py:209) but its UI shows one page of results — an
+        unbounded collect of a broad OR query at 10^10-URL scale would
+        OOM the driver.  ``limit=50`` keeps the plan a TakeOrdered
+        (top-k, no global sort materialized); pass ``unbounded=True``
+        for the faithful full result set, streamed through
+        ``toLocalIterator`` so at most one partition is resident
+        driver-side at a time."""
         if self.run.postings_df() is None:
             return []
+        if unbounded:
+            df = self.run.search(query, limit=None)
+            return [
+                {"pageUrl": r["url"], "frequency": r["frequency"]}
+                for r in df.toLocalIterator()
+            ]
         df = self.run.search(query, limit=limit)
         return [
             {"pageUrl": r["url"], "frequency": r["frequency"]} for r in df.collect()
         ]
+
+    # -- GET /jobs/<job_id> (master.py:147-163) --------------------------------
+
+    def job_status(self, job_id: str) -> dict:
+        """The jobs-table row: config + lifetime discovered/indexed
+        counters, exactly the reference's job-status payload
+        (master.py:147-163).  discoveredCount counts re-fetches in
+        ``dedup='index'`` mode (crawler_worker.py:171-177)."""
+        jobs_path = os.path.join(self.root, "jobs.parquet")
+        if not os.path.isfile(jobs_path):
+            return {"error": "Job not found"}  # master.py:162
+        jobs = pd.read_parquet(jobs_path)
+        row = jobs[jobs["job_id"] == job_id]
+        if row.empty:
+            return {"error": "Job not found"}
+        row = row.iloc[0]
+        counters = {"n_fetched": 0, "n_indexed": 0}
+        jc = self.run.job_counters_df()
+        if jc is not None:
+            for r in jc.where(F.col("job_id") == job_id).collect():
+                counters[r["key"]] = int(r["value"])
+        return {
+            "jobId": job_id,
+            "seedUrl": row["seed_url"],
+            "depthLimit": int(row["depth_limit"]),
+            "discoveredCount": counters["n_fetched"],
+            "indexedCount": counters["n_indexed"],
+            "status": row["status"],
+            "createdAt": float(row["created_at"]),
+        }
+
+    # -- GET /nodes (master.py:215-217) ----------------------------------------
+
+    def nodes(self) -> dict:
+        """node-id -> 'alive'|'dead' — the reference's heartbeat-poller
+        view (master.py:49-62,215-217).  Engine equivalent: the latest
+        committed round's per-partition parse lineage; every partition
+        that committed output is alive (a dead executor's task was
+        re-run elsewhere — Spark's task retry IS the liveness
+        mechanism, SURVEY §2.9 C7)."""
+        m = self.run.monitor_df()
+        if m is None:
+            return {}
+        return {
+            f"partition-{r['partition_id']}": "alive"
+            for r in m.collect()
+            if r["stage"] == "parse"
+        }
 
     # -- GET /monitor (master.py:219-242) --------------------------------------
 
@@ -155,7 +224,7 @@ class CrawlService:
         heartbeat table reshaped as data (C6)."""
         m = self.run.monitor_df()
         if m is None:
-            return {"round": None, "counters": {}, "partitions": []}
+            return {"round": None, "counters": {}, "partitions": [], "jobs": {}}
         rows = m.collect()
         rnd = rows[0]["round"] if rows else None
         counters = {
@@ -164,9 +233,13 @@ class CrawlService:
         partitions = [
             {"partition_id": r["partition_id"], "key": r["key"], "value": r["value"]}
             for r in rows
-            if r["stage"] != "round"
+            if r["stage"] == "parse"
         ]
-        return {"round": rnd, "counters": counters, "partitions": partitions}
+        jobs: dict[str, dict] = {}
+        for r in rows:
+            if r["stage"] == "job":
+                jobs.setdefault(r["job_id"], {})[r["key"]] = r["value"]
+        return {"round": rnd, "counters": counters, "partitions": partitions, "jobs": jobs}
 
     # -- GET /health (master.py:68-70) -----------------------------------------
 

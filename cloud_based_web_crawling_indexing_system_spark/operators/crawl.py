@@ -56,7 +56,9 @@ __all__ = ["CrawlRun", "FRONTIER_COLS"]
 
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "host_hash", "depth", "tries", "seed_idx"]
 
-_METRICS_SCHEMA = "round int, partition_id int, stage string, key string, value long"
+_METRICS_SCHEMA = (
+    "round int, partition_id int, stage string, key string, value long, job_id string"
+)
 
 
 def _host_hash31_col(host_col) -> F.Column:
@@ -112,6 +114,9 @@ class CrawlRun:
         seen_hashes: set[str] = set()
         from ..functions.urlnorm import canonicalize_full, host_hash31, url_md5
 
+        import time as _time
+
+        created_at = _time.time()
         for r in seeds.itertuples():
             url = canonicalize_full(r.seed_url) if cfg.canonicalization == "full" else r.seed_url
             # job config from the CANONICAL seed in full mode: the F3
@@ -124,6 +129,13 @@ class CrawlRun:
                     "depth_limit": max(lo, min(int(r.depth_limit), hi)),  # F8
                     "seed_netloc": p.netloc,
                     "domain": p.path in ("", "/"),  # F7
+                    # jobs-table row fields served by GET /jobs/<id>
+                    # (master.py:147-163): RAW submitted seed, PENDING
+                    # status (the reference never updates it,
+                    # init_db.py:18), submission timestamp
+                    "seed_url": r.seed_url,
+                    "status": "PENDING",
+                    "created_at": created_at,
                 }
             )
             h = url_md5(url)
@@ -647,11 +659,32 @@ class CrawlRun:
         n_retry = _obs(obs_retry, "n_retry")
         n_failed = (n_admitted - n_fetched) - n_retry
         n_indexed = n_new if cfg.dedup == "index" else n_fetched
+        # per-job counter attribution (A3, the reference jobs-table
+        # semantics): discovered_count += 1 per successful fetch (so
+        # re-fetches count in index-dedup mode, crawler_worker.py:
+        # 171-177), indexed_count += 1 per page indexed (indexer_
+        # worker.py:166-169).  ONE tiny job over the already-persisted
+        # dataframes (map-side partial agg to |jobs| rows); in
+        # discovery mode indexed == fetched per job by construction.
+        if cfg.dedup == "index":
+            tagged = parsed.select("job_id", F.lit("n_fetched").alias("k")).unionByName(
+                indexed.select("job_id", F.lit("n_indexed").alias("k"))
+            )
+            per_job = {
+                (row[0], row[1]): row[2]
+                for row in tagged.groupBy("job_id", "k").count().collect()
+            }
+        else:
+            per_job = {}
+            for row in parsed.groupBy("job_id").count().collect():
+                per_job[(row[0], "n_fetched")] = row[1]
+                per_job[(row[0], "n_indexed")] = row[1]
+
         # per-partition parse lineage for free: the texts round was
         # written one file per parse partition, so its parquet footers
         # ARE the per-partition row counts
         rows = [
-            (r, -1, "round", k, int(v))
+            (r, -1, "round", k, int(v), "")
             for k, v in [
                 ("n_in", n_in), ("n_blocked", n_blocked), ("n_deferred", n_deferred),
                 ("n_fetched", n_fetched), ("n_missed", n_retry), ("n_failed", n_failed),
@@ -659,8 +692,11 @@ class CrawlRun:
                 ("n_postings", n_postings),
             ]
         ] + [
-            (r, pid, "parse", "n_parsed", int(n))
+            (r, pid, "parse", "n_parsed", int(n), "")
             for pid, n in enumerate(self.texts.file_row_counts(r))
+        ] + [
+            (r, -1, "job", k, int(v), jid)
+            for (jid, k), v in sorted(per_job.items())
         ]
         self._write_metrics(r, rows)
 
@@ -695,7 +731,9 @@ class CrawlRun:
         round-done marker so it must stay the LAST commit."""
         import pyarrow as pa
 
-        pdf = pd.DataFrame(rows, columns=["round", "partition_id", "stage", "key", "value"])
+        pdf = pd.DataFrame(
+            rows, columns=["round", "partition_id", "stage", "key", "value", "job_id"]
+        )
         schema = pa.schema(
             [
                 ("round", pa.int32()),
@@ -703,6 +741,7 @@ class CrawlRun:
                 ("stage", pa.string()),
                 ("key", pa.string()),
                 ("value", pa.int64()),
+                ("job_id", pa.string()),
             ]
         )
         pdf = pdf.astype({"round": "int32", "partition_id": "int32", "value": "int64"})
@@ -750,6 +789,22 @@ class CrawlRun:
             return None
         last = self.metrics.last_round()
         return m.where(F.col("round") == last).orderBy("stage", "key", "partition_id")
+
+    def job_counters_df(self) -> DataFrame | None:
+        """Per-job lifetime counters (A3, the jobs-table semantics):
+        SUM of the per-round ``stage='job'`` metric rows — the engine
+        equivalent of the reference's ``UPDATE jobs SET
+        discovered_count = discovered_count + 1`` accumulation
+        (/root/reference/Cloud/scripts/crawler_worker.py:171-177,
+        indexer_worker.py:166-169).  Returns (job_id, key, value)."""
+        m = self.metrics.read_all()
+        if m is None:
+            return None
+        return (
+            m.where(F.col("stage") == "job")
+            .groupBy("job_id", "key")
+            .agg(F.sum("value").alias("value"))
+        )
 
     def postings_df(self) -> DataFrame | None:
         """Current postings state — the MERGE INTO view (A2): the last

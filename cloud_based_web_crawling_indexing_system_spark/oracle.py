@@ -98,6 +98,11 @@ class OracleResult:
     # (admitted vs deferred), with the host budget in force — lets
     # property tests assert the token bucket exactly
     admit_log: list[dict] = field(default_factory=list)  # round/host/url/budget/admitted
+    # per-job lifetime counters, the reference jobs-table semantics
+    # (discovered_count += 1 per SUCCESSFUL FETCH — so re-fetches count
+    # in index-dedup mode, crawler_worker.py:171-177; indexed_count +=
+    # 1 per page actually indexed, indexer_worker.py:166-169)
+    job_counters: dict[str, dict] = field(default_factory=dict)  # job_id -> {discovered, indexed}
     rounds: int = 0
 
 
@@ -132,6 +137,7 @@ def crawl_oracle(
             "seed_netloc": p.netloc,
             "domain": p.path in ("", "/"),
         }
+        res.job_counters[r.job_id] = {"discovered": 0, "indexed": 0}
         h = url_md5(url)
         if h in seed_hashes:
             continue  # order-preserving seed dedup (D3)
@@ -204,6 +210,9 @@ def crawl_oracle(
                     m["n_failed"] += 1
                 continue
             m["n_fetched"] += 1
+            # UPDATE jobs SET discovered_count = discovered_count + 1:
+            # after fetch success, BEFORE index dedup (re-fetches count)
+            res.job_counters[row["job_id"]]["discovered"] += 1
             page = html.decode("utf-8", errors="replace")
 
             # index stage: in discovery mode every fetched url is new
@@ -230,6 +239,7 @@ def crawl_oracle(
                     )
                 m["n_indexed"] += 1
                 m["n_postings"] += len(tf)
+                res.job_counters[row["job_id"]]["indexed"] += 1
 
             # discover children (P1, F2-F5; D1 only in discovery mode)
             job = jobs[row["job_id"]]

@@ -60,10 +60,47 @@ def test_full_lifecycle(spark, tiny_corpus):
     ]
     assert got == exp
 
+    # GET /search default is BOUNDED: a top-k TakeOrdered plan, never a
+    # full-result collect (master's SQL has no LIMIT; at 10^10 urls an
+    # unbounded collect OOMs the driver)
+    plan = svc.run.search("data or engine", limit=50)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrdered" in plan
+    # unbounded=True streams the faithful full result set
+    full = svc.search("data or engine", unbounded=True)
+    exp_full = [
+        {"pageUrl": u, "frequency": f}
+        for u, f in search_oracle(oracle.postings, "data or engine")
+    ]
+    assert full == exp_full
+
+    # GET /jobs/<job_id>: per-job counters match the oracle jobs table,
+    # keyed by seed url (the facade mints its own uuids per seed)
+    exp_by_seed = {}
+    for i, jid in enumerate(seeds_pdf.job_id):
+        # first-wins: a DUPLICATE seed's job gets zero fetches (D3
+        # drops its frontier row), exactly like the facade's dedup
+        exp_by_seed.setdefault(seeds_pdf.seed_url.iloc[i], oracle.job_counters[jid])
+    for jid in job["jobIds"]:
+        st = svc.job_status(jid)
+        assert st["jobId"] == jid and st["status"] == "PENDING"
+        assert st["depthLimit"] == 2 and st["createdAt"] > 0
+        exp = exp_by_seed[st["seedUrl"]]
+        assert st["discoveredCount"] == exp["discovered"]
+        assert st["indexedCount"] == exp["indexed"]
+    assert any(svc.job_status(j)["discoveredCount"] > 0 for j in job["jobIds"])
+    assert svc.job_status("no-such-job") == {"error": "Job not found"}
+
+    # GET /nodes: every partition that committed parse output is alive
+    nd = svc.nodes()
+    assert nd and all(v == "alive" for v in nd.values())
+
     mon = svc.monitor()
     assert mon["round"] == metrics[-1]["round"]
     assert mon["counters"]["n_in"] == metrics[-1]["n_in"]
     assert any(p["key"] == "n_parsed" for p in mon["partitions"]) or metrics[-1]["n_fetched"] == 0
+    # partitions holds ONLY parse lineage (job rows live under 'jobs')
+    assert all(p["key"] == "n_parsed" for p in mon["partitions"])
 
     h = svc.health()
     assert h["status"] == "healthy" and h["rounds_done"] == len(metrics)

@@ -129,6 +129,25 @@ def test_postings_equality(both):
     assert got == exp
 
 
+def test_per_job_counters_match(both):
+    """A3 per-job attribution: the engine's stage='job' metric rows sum
+    to the reference jobs-table counters the oracle maintains
+    (discovered_count/indexed_count, crawler_worker.py:171-177,
+    indexer_worker.py:166-169)."""
+    oracle, run, _ = both
+    got = {}
+    for r in run.job_counters_df().collect():
+        d = got.setdefault(r["job_id"], {"discovered": 0, "indexed": 0})
+        key = "discovered" if r["key"] == "n_fetched" else "indexed"
+        d[key] += r["value"]
+    exp = {
+        j: dict(c) for j, c in oracle.job_counters.items()
+        if c["discovered"] or c["indexed"]  # zero-count jobs emit no rows
+    }
+    assert got == exp
+    assert len(got) > 1, "fixture must exercise MULTI-job attribution"
+
+
 @pytest.mark.parametrize("q", QUERIES)
 def test_search_parity(both, spark, q):
     oracle, run, _ = both

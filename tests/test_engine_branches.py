@@ -128,6 +128,21 @@ def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
     total_indexed = sum(m["n_indexed"] for m in em)
     assert total_fetched > total_indexed > 0
 
+    # per-JOB attribution matches the oracle's jobs-table counters,
+    # including the re-fetch-counting discovered semantics
+    got_jc = {}
+    for r in run.job_counters_df().collect():
+        d = got_jc.setdefault(r["job_id"], {"discovered": 0, "indexed": 0})
+        d["discovered" if r["key"] == "n_fetched" else "indexed"] += r["value"]
+    exp_jc = {
+        j: dict(c) for j, c in oracle.job_counters.items()
+        if c["discovered"] or c["indexed"]
+    }
+    assert got_jc == exp_jc
+    assert any(c["discovered"] > c["indexed"] for c in got_jc.values()), (
+        "index-dedup fixture must show a per-job re-fetch surplus"
+    )
+
     # seen = the INDEXED set with index-round attribution
     got_seen = {r["url_hash"]: (r["url"], r["first_round"]) for r in run.seen_df().collect()}
     assert got_seen == oracle.seen
