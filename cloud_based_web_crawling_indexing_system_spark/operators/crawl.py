@@ -280,6 +280,8 @@ class CrawlRun:
         merged = add_seen if prev_seen is None else prev_seen.unionByName(add_seen)
         merged = merged.localCheckpoint(eager=True)
         self.seen.write_round(rnd, merged)
+        if self._bloom is not None:
+            self._bloom.sync_n_keys(self._seen_total())
 
     # -- the round ---------------------------------------------------------
 
@@ -620,6 +622,10 @@ class CrawlRun:
             # a COMPLETED round — extra bits are false positives the
             # exact join resolves
             self._bloom.add_positions_df(new_seen)
+            # clamp the sizing counter to the authoritative |seen|
+            # (parquet footers, free): crash replays and duplicate
+            # hashes would otherwise inflate it and fire early rebuilds
+            self._bloom.sync_n_keys(self._seen_total())
         t0 = _mark("commit", t0)
 
         # the commit jobs materialized every observed dataframe, so the

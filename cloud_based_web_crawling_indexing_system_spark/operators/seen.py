@@ -25,7 +25,21 @@ the filter is rebuilt at the next power of two from the seen table
 
 Residency.  The bit shards live in a parquet side table written and
 OR-merged BY EXECUTORS (applyInPandas over shard groups); the driver
-never holds or builds the bit array.  Probe paths:
+never holds or builds the bit array.
+
+Write path (delta generations).  Each ``add_positions_df`` call packs
+ONLY its own keys' bits into a new generation directory
+(``gen-NNNNNN``) — O(delta keys · touched shards) work and bytes, NOT
+O(m): at the 10^10 sizing (2^38 bits = 32 GiB packed) a round that
+adds few keys writes a few shard-rows, not a 32 GiB rewrite.  Readers
+OR all generations' rows per shard (bloom bits are a join-semilattice,
+so the fold is order-free and crash-replay-idempotent); when the
+generation count passes ``COMPACT_GENS`` the table is folded back to
+one generation (amortized O(m)/COMPACT_GENS per round, and the
+compacted dir is written BEFORE the stale ones are removed, so a
+crash anywhere leaves a superset of the bits — false positives only).
+
+Probe paths:
 
 - m/8 <= broadcast_cap_bytes: the packed shards (sum = m/8 bytes) are
   broadcast and probed in a vectorized UDF — zero shuffle on the
@@ -67,6 +81,7 @@ K = 4  # hash probes per key
 BITS_PER_KEY = 16  # m/n target -> FP ~= 0.24% at K=4
 M_MIN = 1 << 20
 SHARD_BITS_TARGET = 1 << 23  # ~1 MiB packed per shard
+COMPACT_GENS = 8  # fold delta generations back to one past this count
 
 
 def bloom_m_for(n_keys: int) -> int:
@@ -149,25 +164,37 @@ class BloomSeen:
             json.dump({"m": self.m, "n_keys": self.n_keys, "n_shards": self.n_shards}, f)
         os.replace(tmp, self._meta_path)
 
-    def exists(self) -> bool:
-        return os.path.isfile(self._meta_path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+    def _gen_dirs(self) -> list[str]:
+        """Generation directories, oldest first.  Readers OR every
+        generation's rows per shard (order-free semilattice fold)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("gen-") and os.path.isdir(os.path.join(self.path, d))
         )
 
+    def exists(self) -> bool:
+        return os.path.isfile(self._meta_path) and bool(self._gen_dirs())
+
     def _shards_df(self) -> DataFrame | None:
-        if not self.exists():
+        gens = self._gen_dirs()
+        if not os.path.isfile(self._meta_path) or not gens:
             return None
         return self.spark.read.schema("shard int, bits binary, n_new long").parquet(
-            self.path
+            *gens
         )
 
     # -- build / update (executor-side) -------------------------------------
 
     def add_positions_df(self, df: DataFrame, url_hash_col: str = "url_hash") -> None:
-        """OR the rows' bits into the shard table — one Spark job, all
-        bit work in executors (applyInPandas per shard); the driver
-        only swaps directories.  Idempotent (OR), so crash replays are
-        safe."""
+        """OR the rows' bits into the shard table by writing a DELTA
+        generation: one Spark job packing ONLY this call's keys
+        (applyInPandas per touched shard) — O(delta), never the O(m)
+        full-table rewrite.  Idempotent on replay (a crashed round's
+        re-run writes a second delta with the same bits; OR absorbs
+        it, and compaction folds the duplicate away)."""
         m, n_shards = self.m, self.n_shards
         shard_size = m // n_shards
 
@@ -176,56 +203,89 @@ class BloomSeen:
             F.col("_bshard").cast("int").alias("shard"),
             F.explode(F.array(*[F.col(f"_bp{i}") for i in range(K)])).alias("p"),
         )
-        old = self._shards_df()
-        if old is not None:
-            # old bytes ride along as pseudo-positions: encode as rows
-            # with p = -1 and the packed bytes in a binary col
-            old_rows = old.select("shard", F.lit(-1).cast("long").alias("p"), F.col("bits"))
-            new_rows = long_pos.withColumn("bits", F.lit(None).cast("binary"))
-            unioned = new_rows.unionByName(old_rows)
-        else:
-            unioned = long_pos.withColumn("bits", F.lit(None).cast("binary"))
-
         nbytes = shard_size // 8
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             acc = np.zeros(nbytes, dtype=np.uint8)
-            for b in pdf.loc[pdf["p"] < 0, "bits"]:
-                acc |= np.frombuffer(b, dtype=np.uint8)
-            p = pdf.loc[pdf["p"] >= 0, "p"].to_numpy(dtype=np.int64)
-            if len(p):
-                # scatter-OR on the packed array directly (MSB-first):
-                # O(len(p)) work and no shard_size-sized bool buffer
-                np.bitwise_or.at(
-                    acc, p >> 3, (1 << (7 - (p & 7))).astype(np.uint8)
-                )
+            p = pdf["p"].to_numpy(dtype=np.int64)
+            # scatter-OR on the packed array directly (MSB-first):
+            # O(len(p)) work and no shard_size-sized bool buffer
+            np.bitwise_or.at(acc, p >> 3, (1 << (7 - (p & 7))).astype(np.uint8))
             # new-key count rides in the output so sizing needs no
             # extra count() action (K positions per key)
             return pd.DataFrame(
                 {"shard": [shard], "bits": [acc.tobytes()], "n_new": [len(p) // K]}
             )
 
-        merged = unioned.groupBy("shard").applyInPandas(
+        delta = long_pos.groupBy("shard").applyInPandas(
             pack, "shard int, bits binary, n_new long"
         )
-        tmp = self.path + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        gen_dir = self._write_gen(delta)
         import pyarrow.parquet as pq
 
         n_added = 0
-        for f in os.listdir(self.path):
+        for f in os.listdir(gen_dir):
             if f.endswith(".parquet"):
-                t = pq.read_table(os.path.join(self.path, f), columns=["n_new"])
+                t = pq.read_table(os.path.join(gen_dir, f), columns=["n_new"])
                 n_added += sum(t.column("n_new").to_pylist())
         self.n_keys += int(n_added)
         self._write_meta()
         self._bc = None  # invalidate broadcast
+        if len(self._gen_dirs()) > COMPACT_GENS:
+            self._compact()
+
+    def _write_gen(self, shards_df: DataFrame) -> str:
+        """Write (shard, bits, n_new) rows as the next generation dir
+        (tmp write + atomic rename, driver only renames)."""
+        os.makedirs(self.path, exist_ok=True)
+        gens = self._gen_dirs()
+        nxt = int(os.path.basename(gens[-1]).split("-")[1]) + 1 if gens else 0
+        tmp = os.path.join(self.path, f".tmp-gen-{nxt:06d}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shards_df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(self.path, f"gen-{nxt:06d}")
+        os.replace(tmp, final)
+        return final
+
+    def _compact(self) -> None:
+        """Fold every generation into one (executor-side OR per shard).
+        The compacted generation is written BEFORE the stale ones are
+        removed: a crash in between leaves duplicate bits, which OR
+        makes harmless (the next compaction removes them)."""
+        old_gens = self._gen_dirs()
+        rows = self._shards_df()
+        if rows is None:
+            return
+        nbytes = (self.m // self.n_shards) // 8
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for b in pdf["bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"shard": [shard], "bits": [acc.tobytes()],
+                 "n_new": [int(pdf["n_new"].sum())]}
+            )
+
+        folded = rows.groupBy("shard").applyInPandas(
+            fold, "shard int, bits binary, n_new long"
+        )
+        self._write_gen(folded)
+        for g in old_gens:
+            shutil.rmtree(g)
+        self._bc = None
+
+    def sync_n_keys(self, n_keys: int) -> None:
+        """Clamp the sizing counter to the authoritative seen-table
+        count.  The incremental n_new accounting overcounts under
+        crash replays and duplicate keys (harmless direction — rebuilds
+        fire early, never late); callers that know |seen| exactly (a
+        parquet-footer read) pin it here."""
+        self.n_keys = int(n_keys)
+        self._write_meta()
 
     def needs_rebuild(self) -> bool:
         return self.n_keys * BITS_PER_KEY > self.m
@@ -257,12 +317,15 @@ class BloomSeen:
             if self.exists():
                 import pyarrow.parquet as pq
 
-                t = pq.read_table(self.path, columns=["shard", "bits"])
-                for shard, bits in zip(
-                    t.column("shard").to_pylist(), t.column("bits").to_pylist()
-                ):
-                    off = shard * (shard_size // 8)
-                    packed[off : off + len(bits)] |= np.frombuffer(bits, dtype=np.uint8)
+                for gen in self._gen_dirs():
+                    t = pq.read_table(gen, columns=["shard", "bits"])
+                    for shard, bits in zip(
+                        t.column("shard").to_pylist(), t.column("bits").to_pylist()
+                    ):
+                        off = shard * (shard_size // 8)
+                        packed[off : off + len(bits)] |= np.frombuffer(
+                            bits, dtype=np.uint8
+                        )
             self._bc = self.spark.sparkContext.broadcast(packed)
         return self._bc
 
@@ -309,7 +372,12 @@ class BloomSeen:
             if bits_pdf.empty:
                 maybe = np.zeros(len(cand_pdf), dtype=bool)
             else:
-                packed = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
+                # OR the shard's rows across delta generations (the
+                # cogroup delivers one row per generation that touched
+                # this shard)
+                packed = np.zeros(len(bits_pdf["bits"].iloc[0]), dtype=np.uint8)
+                for b in bits_pdf["bits"]:
+                    packed |= np.frombuffer(b, dtype=np.uint8)
                 maybe = np.ones(len(cand_pdf), dtype=bool)
                 for i in range(K):
                     pos = cand_pdf[f"_bp{i}"].to_numpy(dtype=np.int64)
