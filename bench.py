@@ -41,6 +41,8 @@ HEADLINE = [
     "q33_srp_ann_topk",
     "q34_ivf_ann_topk",
     "q35_embedding_neardup_lsh",
+    "q36_lang_id_confusion",
+    "q37_ngram_jaccard_capped",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -145,7 +145,21 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic centroids: the first ``n_cells`` vectors by id.
     This is the model-fit step — a fixed k-row collect (k·dim floats),
-    independent of corpus size."""
+    independent of corpus size.
+
+    Recall caveat (pinned by tests/test_pipeline_ops.py::
+    test_ivf_first_k_centroids_recall_bound_on_clustered_corpus):
+    first-k is exactly oracle-expressible and RNG-free, but its recall
+    is data-dependent — on an id-CLUSTERED corpus whose first k ids
+    all fall in one cluster (the adversarial case) recall@5 drops to
+    ~0.8-0.9 at nprobe 1-2 versus 1.0 for an id-uniform layout of the
+    same vectors.  The degradation is bounded and recoverable: recall
+    is monotone in nprobe and exact at nprobe = n_cells, so skewed
+    corpora should raise nprobe (or pre-shuffle ids).  A k-means
+    refinement was deliberately NOT used: Spark's float mean is
+    partition-order-dependent, which would break both cross-engine
+    oracle parity and the engine's own determinism-under-parallelism
+    contract."""
     rows = embeddings.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
 

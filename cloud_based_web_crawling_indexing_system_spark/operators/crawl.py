@@ -56,6 +56,11 @@ __all__ = ["CrawlRun", "FRONTIER_COLS"]
 
 FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "host_hash", "depth", "tries", "seed_idx"]
 
+# per-job counters ride the round's existing Observations (zero extra
+# jobs) up to this many jobs; a wider job dim falls back to one tiny
+# groupBy('job_id') over the cached parse output
+JOB_OBS_MAX = 64
+
 _METRICS_SCHEMA = (
     "round int, partition_id int, stage string, key string, value long, job_id string"
 )
@@ -95,6 +100,7 @@ class CrawlRun:
         self._robots_df: DataFrame | None = None
         self._pages_path: str | None = None
         self._pages_df: DataFrame | None = None
+        self._job_ids: list[str] = []
         self._bloom: BloomSeen | None = None
 
     # -- setup -------------------------------------------------------------
@@ -193,6 +199,7 @@ class CrawlRun:
         cfg = CrawlConfig(**{**st["cfg"], "depth_clamp": tuple(st["cfg"]["depth_clamp"])})
         self.cfg = cfg
         jobs_pdf = pd.read_parquet(os.path.join(self.root, "jobs.parquet"))
+        self._job_ids = sorted(jobs_pdf["job_id"])
         self._jobs_df = self.spark.createDataFrame(jobs_pdf).cache()
         self._robots_df = self.spark.read.parquet(os.path.join(self.root, "robots")).cache()
         # one DataFrame per run: reuses the parquet FileIndex (no
@@ -403,8 +410,26 @@ class CrawlRun:
                 F.col("p.link_hosts").alias("link_hosts"),
             )
         )
+        # per-job counters (A3) ride the SAME Observations when the job
+        # dim is small (the common case: one job per submitted seed) —
+        # zero extra actions; a huge job dim falls back to one tiny
+        # groupBy over the cached parse output below
+        job_obs = 0 < len(self._job_ids) <= JOB_OBS_MAX
+
+        def _job_aggs() -> list:
+            return [
+                F.sum(F.when(F.col("job_id") == j, 1).otherwise(0))
+                .cast("long")
+                .alias(f"job{i}")
+                for i, j in enumerate(self._job_ids)
+            ]
+
         obs_parsed = Observation()
-        parsed = parsed.observe(obs_parsed, F.count(F.lit(1)).alias("n_fetched"))
+        parsed = parsed.observe(
+            obs_parsed,
+            F.count(F.lit(1)).alias("n_fetched"),
+            *(_job_aggs() if job_obs else []),
+        )
         parsed.persist()  # consumed by postings, texts, children, metrics
 
         if n_in <= cfg.broadcast_fetch_rows:
@@ -436,9 +461,12 @@ class CrawlRun:
                 .drop("_rn")
             )
             indexed = filter_new(first, seen_idx, self._bloom)
+            if job_obs:
+                indexed = indexed.observe(obs_idx := Observation(), *_job_aggs())
             indexed.persist()  # consumed by postings, texts, seen
         else:
             indexed = parsed  # discovery dedup means every fetch is new
+            obs_idx = obs_parsed  # indexed == fetched per job here
 
         # index (P4-P6, A1): per-page counts happen inside the UDF —
         # map-side only, NO shuffle for the counting step.
@@ -669,10 +697,22 @@ class CrawlRun:
         # semantics): discovered_count += 1 per successful fetch (so
         # re-fetches count in index-dedup mode, crawler_worker.py:
         # 171-177), indexed_count += 1 per page indexed (indexer_
-        # worker.py:166-169).  ONE tiny job over the already-persisted
-        # dataframes (map-side partial agg to |jobs| rows); in
-        # discovery mode indexed == fetched per job by construction.
-        if cfg.dedup == "index":
+        # worker.py:166-169).  Small job dims read the Observations
+        # already materialized by the commit jobs (zero extra actions);
+        # wide dims run ONE tiny job over the persisted dataframes
+        # (map-side partial agg to |jobs| rows).  In discovery mode
+        # indexed == fetched per job by construction (obs_idx aliases
+        # obs_parsed above).
+        per_job: dict[tuple, int] = {}
+        if job_obs:
+            for i, j in enumerate(self._job_ids):
+                vf = _obs(obs_parsed, f"job{i}")
+                vi = _obs(obs_idx, f"job{i}")
+                if vf:
+                    per_job[(j, "n_fetched")] = vf
+                if vi:
+                    per_job[(j, "n_indexed")] = vi
+        elif cfg.dedup == "index":
             tagged = parsed.select("job_id", F.lit("n_fetched").alias("k")).unionByName(
                 indexed.select("job_id", F.lit("n_indexed").alias("k"))
             )
@@ -681,7 +721,6 @@ class CrawlRun:
                 for row in tagged.groupBy("job_id", "k").count().collect()
             }
         else:
-            per_job = {}
             for row in parsed.groupBy("job_id").count().collect():
                 per_job[(row[0], "n_fetched")] = row[1]
                 per_job[(row[0], "n_indexed")] = row[1]

@@ -1149,6 +1149,146 @@ def q31(spark, sf_dir):
     )
 
 
+# marker sets shared verbatim with functions.quality._MARKERS — the
+# oracle SQL below re-derives the SAME heuristic, so the lists must
+# stay in sync (imported, not copied)
+def _lang_sql() -> str:
+    from ..functions.quality import _MARKERS
+
+    def in_list(lang: str) -> str:
+        return ",".join("'" + w.replace("'", "''") + "'" for w in sorted(_MARKERS[lang]))
+
+    score = {
+        lang: f"len(list_filter(t4, x -> x IN ({in_list(lang)})))" for lang in _MARKERS
+    }
+    # script votes over the FIRST 2000 chars, exactly like
+    # quality.lang_id (count chars in the CJK / Arabic blocks; 'latin'
+    # = remaining alphabetic chars — the driver corpus is pure ASCII
+    # (verified), so [A-Za-z] equals Python's ch.isalpha() here; the
+    # full-Unicode path is pytest-verified on the zh/ar crawl fixture)
+    cjk_cls = "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]"
+    arab_cls = "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]"
+
+    def ccount(cls: str) -> str:
+        return f"(length(s2) - length(regexp_replace(s2, '{cls}', '', 'g')))"
+
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             substr(text, 1, 2000) AS s2,
+             regexp_extract_all(lower(substr(text, 1, 4000)), '\\w+') AS t4,
+             text
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {ccount(cjk_cls)} AS cjk,
+             {ccount(arab_cls)} AS arab,
+             (length(s2) - length(regexp_replace(s2, '[A-Za-z]', '', 'g'))) AS latin,
+             {score['en']} AS s_en, {score['es']} AS s_es,
+             {score['de']} AS s_de, {score['fr']} AS s_fr,
+             text
+      FROM feats),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN text IS NULL THEN NULL
+               WHEN text = '' THEN 'und'
+               WHEN cjk > 3 AND cjk * 10 >= latin THEN 'zh'
+               WHEN arab > 3 AND arab * 10 >= latin THEN 'ar'
+               -- marker vote: first lang in (en, es, de, fr) insertion
+               -- order attaining the strict running max (quality.lang_id's
+               -- 'if score > best_score' loop), 'en' when all zero
+               WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+               WHEN s_de > s_en AND s_de > s_es THEN 'de'
+               WHEN s_es > s_en THEN 'es'
+               ELSE 'en'
+             END AS predicted
+      FROM scored)
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """
+
+
+@probe("q36_lang_id_confusion", _lang_sql())
+def q36(spark, sf_dir):
+    """Language-ID wired into the driver gate: the REAL vectorized
+    pandas UDF (functions/quality.lang_id — script vote then marker
+    vote) against the stored ``lang`` label, rolled up as a confusion
+    table.  The DuckDB oracle re-derives the identical heuristic in
+    SQL from the SAME marker sets (imported above).  Scale shape:
+    one Arrow-batched UDF pass + a |langs|²-row groupBy — no shuffle
+    wider than the tiny rollup."""
+    from ..functions.quality import lang_id_udf
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("predicted", lang_id_udf("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_Q37_TAU = 4  # shingle document-frequency cap
+
+
+@probe(
+    "q37_ngram_jaccard_capped",
+    f"""
+    {_SHINGLE_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_Q37_TAU}),
+    rare AS (SELECT doc_id, shingle FROM sh
+             WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+    """,
+)
+def q37(spark, sf_dir):
+    """q26 with the document-frequency cap its own scale note calls
+    for: shingles with df > τ are boilerplate (they carry no
+    discriminative signal — standard in the MinHash/SimHash dedup
+    literature) AND are exactly the keys whose d² join fan-out skews
+    the shuffle, so they are dropped BEFORE the pair join.  The hot
+    set is tiny by definition (heavy hitters), so the drop is a
+    broadcast anti-join — the corpus-side shingle stream is never
+    shuffled for the cap.  Jaccard is then computed over the capped
+    shingle sets (both sides of the oracle agree on that definition).
+    q26 stays as the uncapped exactness baseline."""
+    sh = _shingles_df(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _Q37_TAU)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    j = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .where(j >= 0.5)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
 @probe(
     "q32_lang_source_stats",
     f"""

@@ -197,6 +197,46 @@ def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
     assert {u for u, _ in got_seen.values()} == set(disc.texts.keys())
 
 
+def test_per_job_counters_fallback_groupby_path(spark, corpus, tmp_path, monkeypatch):
+    """Per-job counters have two implementations: Observation-riding
+    (job dim <= JOB_OBS_MAX, zero extra actions) and the
+    groupBy-over-cached fallback for wide job dims.  Both must produce
+    the oracle's jobs-table counters — force the fallback and compare
+    against a normal run AND the oracle, in index mode (where fetched
+    != indexed per job)."""
+    from cloud_based_web_crawling_indexing_system_spark.operators import crawl as crawl_mod
+
+    cfg = CrawlConfig(round_budget_s=1e9, dedup="index", max_rounds=4)
+    seeds = pd.read_parquet(corpus["seeds"]).assign(depth_limit=2)
+
+    def counters(run):
+        out = {}
+        for r in run.job_counters_df().collect():
+            d = out.setdefault(r["job_id"], {"discovered": 0, "indexed": 0})
+            d["discovered" if r["key"] == "n_fetched" else "indexed"] += r["value"]
+        return out
+
+    run_obs = CrawlRun(spark, str(tmp_path / "obs"), cfg)
+    run_obs.init(corpus["pages"], spark.read.parquet(corpus["robots"]),
+                 spark.createDataFrame(seeds))
+    run_obs.run()
+
+    monkeypatch.setattr(crawl_mod, "JOB_OBS_MAX", 0)  # force the fallback
+    run_gb = CrawlRun(spark, str(tmp_path / "gb"), cfg)
+    run_gb.init(corpus["pages"], spark.read.parquet(corpus["robots"]),
+                spark.createDataFrame(seeds))
+    run_gb.run()
+
+    oracle = crawl_oracle(
+        pd.read_parquet(corpus["pages"]), pd.read_parquet(corpus["robots"]), seeds, cfg
+    )
+    exp = {
+        j: dict(c) for j, c in oracle.job_counters.items()
+        if c["discovered"] or c["indexed"]
+    }
+    assert counters(run_obs) == counters(run_gb) == exp
+
+
 def test_shuffled_fetch_fallback_identical(spark, corpus, tmp_path):
     base = _run(spark, tmp_path / "bcast", corpus, CrawlConfig(round_budget_s=1e9))
     forced = _run(

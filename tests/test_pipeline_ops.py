@@ -110,6 +110,53 @@ def test_ivf_recall_and_determinism(spark):
     assert all(0 <= cell < 8 for _, cell in a1)
 
 
+def test_ivf_first_k_centroids_recall_bound_on_clustered_corpus(spark):
+    """Pins the DOCUMENTED first-k-centroid caveat (simsearch.
+    ivf_centroids): on an id-clustered corpus where the first k ids
+    all fall in ONE cluster (the adversarial case for first-k), recall
+    degrades but stays above the pinned floor, is never better than
+    the id-uniform layout of the SAME vectors, recovers monotonically
+    with nprobe, and reaches 1.0 at nprobe = n_cells."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import ivf_topk
+
+    DIM, C, M = 16, 6, 20
+
+    def vec(c, j):  # deterministic cluster-c member (no RNG)
+        v = [0.0] * DIM
+        v[c] = 1.0
+        v[(c * 7 + j) % DIM] += 0.05 + 0.01 * j
+        v[(c * 3 + 2 * j) % DIM] += 0.03
+        return v
+
+    def corpus(id_of):
+        rows = [
+            {"vec_id": id_of(c, j), "embedding": vec(c, j)}
+            for c in range(C)
+            for j in range(M)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows), "vec_id long, embedding array<double>"
+        )
+
+    skew = corpus(lambda c, j: c * M + j)  # first k ids ALL in cluster 0
+    unif = corpus(lambda c, j: j * C + c)  # ids round-robin across clusters
+
+    def recall(emb, nprobe):
+        q = emb.where(F.col("vec_id") % 17 == 0)
+        ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, q, k=5, n_cells=C, nprobe=nprobe).collect()
+        }
+        return len(ex & ap) / len(ex)
+
+    r_skew = [recall(skew, n) for n in (1, 2, C)]
+    r_unif = recall(unif, 2)
+    assert r_skew[0] >= 0.6 and r_skew[1] >= 0.6  # the documented floor
+    assert r_unif >= r_skew[1]  # centroid diversity can only help
+    assert r_skew[0] <= r_skew[1] <= r_skew[2] == 1.0  # monotone, exact at full probe
+
+
 def test_lsh_neardup_recall_vs_exact(spark):
     """q35 (SRP-bucketed near-dup) finds a subset of q28 (all-pairs)
     with nonzero recall — the scale route is sound."""

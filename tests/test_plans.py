@@ -51,6 +51,20 @@ def test_q27_topk_window_and_broadcast(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_q37_df_cap_is_broadcast_anti_join_before_pair_join(spark):
+    """The hot-shingle cap must be a BROADCAST anti-join (the hot set
+    is tiny by definition) whose df aggregate runs BEFORE the d²-prone
+    pair self-join — never a shuffle of the corpus side for the cap."""
+    df = probes.registry()["q37_ngram_jaccard_capped"](spark, SF)
+    df.collect()  # AQE finalizes join strategies on execution
+    plan = _plan(df)
+    assert "LeftAnti, BuildRight" in plan, plan[:2000]
+    # the df>tau aggregate feeds the broadcast side (HashAggregate
+    # appears below the anti-join's build side in the plan tree)
+    anti_idx = plan.index("LeftAnti")
+    assert "HashAggregate" in plan[anti_idx:], "cap aggregate must feed the anti-join"
+
+
 def test_whole_stage_codegen_on_relational_core(spark):
     df = probes.registry()["q01_pricing_summary"](spark, SF)
     df.collect()  # AQE finalizes the plan only on execution
