@@ -101,6 +101,7 @@ class CrawlRun:
         self._pages_path: str | None = None
         self._pages_df: DataFrame | None = None
         self._job_ids: list[str] = []
+        self._max_delay: float = self.cfg.default_delay
         self._bloom: BloomSeen | None = None
 
     # -- setup -------------------------------------------------------------
@@ -202,6 +203,11 @@ class CrawlRun:
         self._job_ids = sorted(jobs_pdf["job_id"])
         self._jobs_df = self.spark.createDataFrame(jobs_pdf).cache()
         self._robots_df = self.spark.read.parquet(os.path.join(self.root, "robots")).cache()
+        # slowest effective crawl delay across hosts (one tiny agg at
+        # load): lets step() prove a round's politeness budget cannot
+        # bind and skip the admit/defer window shuffle outright
+        row = self._robots_df.agg(F.max("delay")).head()
+        self._max_delay = max(float(row[0] or 0.0), cfg.default_delay)
         # one DataFrame per run: reuses the parquet FileIndex (no
         # re-listing per round); only (url, html) are ever read -> the
         # scan is column-pruned to exactly those two columns.
@@ -368,12 +374,20 @@ class CrawlRun:
         from pyspark.sql import Observation
 
         passing = f2.where(F.col("allowed"))
-        if cfg.politeness:
+        if not cfg.politeness:
+            decided = passing.withColumn("admitted", F.lit(True))
+        elif max(1, int(cfg.round_budget_s / self._max_delay)) >= n_in:
+            # provably non-binding budget: every host's budget
+            # floor(budget_s/delay_h) >= floor(budget_s/max_delay) >=
+            # n_in >= that host's row count, so NO row can be deferred
+            # — identical semantics with the admit/defer window shuffle
+            # (and its AQE stage-jobs) skipped.  The common production
+            # case: budgets sized so a round drains.
+            decided = passing.withColumn("admitted", F.lit(True))
+        else:
             # salting pays only when a host partition could be huge;
             # small rounds take the single-window plan (one shuffle)
             decided = admit_defer(passing, "budget", salts=8 if n_in >= 50_000 else 1)
-        else:
-            decided = passing.withColumn("admitted", F.lit(True))
         obs_dec = Observation()
         decided = decided.observe(
             obs_dec,
