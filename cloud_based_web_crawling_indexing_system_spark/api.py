@@ -112,9 +112,11 @@ class CrawlService:
                 if job_id_prefix
                 else str(uuid.uuid4())
             )
+            import time
+
             self._pending.append(
                 {"job_id": jid, "seed_url": u, "depth_limit": depth_limit,
-                 "seed_idx": len(self._pending)}
+                 "seed_idx": len(self._pending), "created_at": time.time()}
             )
             job_ids.append(jid)
         return {"jobIds": job_ids, "seeds": len(seeds)}
@@ -132,11 +134,17 @@ class CrawlService:
             if not self._pending:
                 raise ValueError("start_job first: no seeds submitted")
             seeds_df = self.spark.createDataFrame(
-                pd.DataFrame(self._pending),
+                pd.DataFrame(self._pending)[
+                    ["job_id", "seed_url", "depth_limit", "seed_idx"]
+                ],
                 schema="job_id string, seed_url string, depth_limit int, seed_idx int",
             )
             self.run.init(self.pages_path, self.robots_df, seeds_df)
             self._started = True
+            # the pending list is now the persisted jobs table —
+            # job_status must read THAT (live counters), not the
+            # pre-init snapshot
+            self._pending = []
         return self.run.run(max_rounds=max_rounds)
 
     # -- GET /search (master.py:165-213) --------------------------------------
@@ -176,6 +184,20 @@ class CrawlService:
         counters, exactly the reference's job-status payload
         (master.py:147-163).  discoveredCount counts re-fetches in
         ``dedup='index'`` mode (crawler_worker.py:171-177)."""
+        # a job submitted but not yet crawled is queryable immediately
+        # (the reference inserts the row at POST time, master.py:129-136)
+        for p in self._pending:
+            if p["job_id"] == job_id:
+                lo, hi = self.cfg.depth_clamp
+                return {
+                    "jobId": job_id,
+                    "seedUrl": p["seed_url"],
+                    "depthLimit": max(lo, min(int(p["depth_limit"]), hi)),
+                    "discoveredCount": 0,
+                    "indexedCount": 0,
+                    "status": "PENDING",
+                    "createdAt": float(p["created_at"]),
+                }
         jobs_path = os.path.join(self.root, "jobs.parquet")
         if not os.path.isfile(jobs_path):
             return {"error": "Job not found"}  # master.py:162

@@ -376,7 +376,7 @@ class CrawlRun:
         passing = f2.where(F.col("allowed"))
         if not cfg.politeness:
             decided = passing.withColumn("admitted", F.lit(True))
-        elif max(1, int(cfg.round_budget_s / self._max_delay)) >= n_in:
+        elif max(1, int(cfg.round_budget_s / max(self._max_delay, 1e-9))) >= n_in:
             # provably non-binding budget: every host's budget
             # floor(budget_s/delay_h) >= floor(budget_s/max_delay) >=
             # n_in >= that host's row count, so NO row can be deferred

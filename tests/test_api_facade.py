@@ -42,6 +42,12 @@ def test_full_lifecycle(spark, tiny_corpus):
     # one job per seed url, like master.py:124-141
     assert len(job["jobIds"]) == job["seeds"] == len(set(seeds_pdf.seed_url))
 
+    # GET /jobs/<id> works immediately after POST (reference inserts
+    # the row at submission time, master.py:129-136)
+    pre = svc.job_status(job["jobIds"][0])
+    assert pre["status"] == "PENDING" and pre["discoveredCount"] == 0
+    assert pre["seedUrl"] and pre["createdAt"] > 0
+
     metrics = svc.crawl()
     assert metrics and sum(m["n_fetched"] for m in metrics) > 0
 
