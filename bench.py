@@ -43,6 +43,7 @@ HEADLINE = [
     "q35_embedding_neardup_lsh",
     "q36_lang_id_confusion",
     "q37_ngram_jaccard_capped",
+    "q38_knn_vectorized_topk",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_expr",
     "brute_force_topk",
+    "knn_topk_vectorized",
     "srp_planes",
     "srp_lsh_buckets",
     "srp_band_buckets",
@@ -80,6 +81,79 @@ def brute_force_topk(
         pairs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rk")
+    )
+
+
+def knn_topk_vectorized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    batch_buffer: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN via the VECTORIZED Python path: an Arrow-batched
+    ``mapInPandas`` computes all query cosines per batch with one
+    numpy matmul and keeps only the per-batch top-(batch_buffer·k)
+    candidate ids per query — a tree-style top-k prune, so Python
+    emits O(batches·Q·k) rows, never N·Q.  The surviving candidates
+    are re-ranked with the SAME JVM sequential-fold cosine as
+    brute_force_topk, so output values are bit-identical to the
+    built-in route (and its DuckDB oracle) — numpy's pairwise
+    summation is used only for candidate SELECTION, where a
+    discrepancy would need ≥ batch_buffer·k cosines within fp noise.
+
+    Exactness: every global top-k neighbor is in the top-k of its own
+    batch, and batch_buffer·k ≥ k rows are kept per (batch, query),
+    so the candidate union provably contains the true top-k.
+
+    The queries side is collected (Q·dim floats — the same bounded
+    model-fit shape as ivf_centroids); the corpus side streams."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[0]) for r in q_rows]
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    take = batch_buffer * k
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = mn @ qn.T  # batch × Q, one matmul for every query
+            out_q: list[int] = []
+            out_n: list[int] = []
+            for j, qid in enumerate(q_ids):
+                idx = np.nonzero(ids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                order = idx[np.argsort(-cos[idx, j], kind="stable")][:take]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long"
+    )
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    ed = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    pairs = (
+        cand.join(F.broadcast(qd), "query_id")
+        .join(ed, "neighbor_id")
+        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
     )
 
 

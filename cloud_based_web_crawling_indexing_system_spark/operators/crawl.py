@@ -89,6 +89,14 @@ class CrawlRun:
         self.cfg = cfg or CrawlConfig()
         self.frontier = RoundTable(spark, os.path.join(root, "frontier"))
         self.seen = RoundTable(spark, os.path.join(root, "seen_urls"))
+        # compacted seen checkpoints (same cadence/visibility rules as
+        # postings_state): round r holds the union of seen rounds <= r,
+        # so the per-round dedup anti-join and |seen| footer counts
+        # read ONE checkpoint dir + a bounded tail instead of listing
+        # O(#rounds) directories — at thousands of rounds the listing
+        # itself (and _seen_total's per-dir footer reads, O(rounds²)
+        # over a crawl) would otherwise dominate the round
+        self.seen_state = RoundTable(spark, os.path.join(root, "seen_state"))
         self.postings = RoundTable(spark, os.path.join(root, "postings"))
         # compacted postings checkpoints: round r holds the grouped
         # aggregate of all deltas <= r, so postings_df() reads one
@@ -215,16 +223,45 @@ class CrawlRun:
         if cfg.use_bloom and self._seen_total() >= cfg.bloom_min_seen:
             self._activate_bloom()
 
+    def _seen_ck(self, upto: int | None = None) -> int | None:
+        """Latest usable seen checkpoint: committed, covered by a
+        COMPLETED round (a crash between the state write and the
+        metrics marker leaves a checkpoint ahead of the round log —
+        replay rewrites it identically), and <= upto."""
+        done = self.metrics.last_round()
+        if done is None:
+            return None
+        cks = [
+            x for x in self.seen_state.committed_rounds()
+            if x <= done and (upto is None or x <= upto)
+        ]
+        return cks[-1] if cks else None
+
+    def _seen_read(self, upto: int | None = None) -> DataFrame | None:
+        """The seen set (rounds <= upto) as checkpoint + bounded tail —
+        O(1) dirs + <compact_every tail dirs, NOT O(#rounds)."""
+        ck = self._seen_ck(upto)
+        if ck is None:
+            df = self.seen.read_all(upto=upto)
+            return df.drop("round") if df is not None else None
+        df = self.seen_state.read_round(ck).drop("round")
+        tail = self.seen.read_all(after=ck, upto=upto)
+        return df if tail is None else df.unionByName(tail.drop("round"))
+
     def _seen_total(self) -> int:
-        """|seen| from parquet footers — no Spark job."""
-        return sum(self.seen.count_round(x) for x in self.seen.committed_rounds())
+        """|seen| from parquet footers — no Spark job; checkpoint +
+        tail keeps it O(1) + bounded instead of O(#rounds) dirs."""
+        ck = self._seen_ck()
+        total = self.seen_state.count_round(ck) if ck is not None else 0
+        rounds = [x for x in self.seen.committed_rounds() if ck is None or x > ck]
+        return total + sum(self.seen.count_round(x) for x in rounds)
 
     def _activate_bloom(self) -> None:
         """Bring the bloom tier up (build from the authoritative seen
         table if its shard table is missing/corrupt)."""
         self._bloom = BloomSeen(self.spark, os.path.join(self.root, "bloom"))
         if not self._bloom.exists():
-            self._bloom.rebuild(self.seen.read_all(), self._seen_total())
+            self._bloom.rebuild(self._seen_read(), self._seen_total())
 
     def add_seeds(self, new_urls: list[str], job_id: str, depth: int = 1) -> None:
         """Mid-crawl seed append (S10, Local dynamic_urls.json): union
@@ -242,7 +279,7 @@ class CrawlRun:
         from ..functions.urlnorm import canonicalize_full, host_hash31, url_md5
 
         cur = self.frontier.read_round(rnd).drop("round")
-        seen_df = self.seen.read_all()
+        seen_df = self._seen_read()
         rows = []
         batch_hashes: set[str] = set()
         for u in new_urls:
@@ -467,7 +504,7 @@ class CrawlRun:
         # seen_urls claim (indexer_worker.py:105-132).  First-processed
         # wins with the oracle's canonical tie order.
         if cfg.dedup == "index":
-            seen_idx = self.seen.read_all(upto=r)
+            seen_idx = self._seen_read(upto=r)
             w_idx = Window.partitionBy("url_hash").orderBy("depth", "job_id", "seed_idx")
             first = (
                 parsed.withColumn("_rn", F.row_number().over(w_idx))
@@ -577,7 +614,7 @@ class CrawlRun:
             # crash may have left a stale seen(r+1) from the
             # interrupted attempt, which must not leak into the
             # replay's dedup.
-            seen_df = self.seen.read_all(upto=r)
+            seen_df = self._seen_read(upto=r)
             new_cand = filter_new(cand, seen_df, self._bloom)
             w = Window.partitionBy("url_hash").orderBy(
                 "parent_host_hash", "parent_depth", "parent_url", "link_pos"
@@ -620,6 +657,7 @@ class CrawlRun:
         # the directory listing never races the concurrent delta write;
         # deterministic, so a replayed round rewrites it identically.
         compact_state = None
+        seen_compact = None
         if cfg.compact_every and (r + 1) % cfg.compact_every == 0:
             # previous checkpoint strictly BEFORE r: a replayed round
             # must not fold in the checkpoint its crashed attempt wrote
@@ -638,6 +676,27 @@ class CrawlRun:
             compact_state = allp.groupBy("term", "job_id", "url", "url_hash").agg(
                 F.sum("frequency").alias("frequency")
             )
+            # seen checkpoint: plain union (rounds are disjoint sets —
+            # every url_hash enters the seen table exactly once), over
+            # COMMITTED rounds <= r only, so a replayed round rewrites
+            # it identically.  Planned here (directory listing must not
+            # race the concurrent seen(r+1) write below).
+            sk_rounds = [x for x in self.seen_state.committed_rounds() if x < r]
+            sk = sk_rounds[-1] if sk_rounds else None
+            sparts = []
+            if sk is not None:
+                sparts.append(self.seen_state.read_round(sk).drop("round"))
+            stail = self.seen.read_all(after=sk, upto=r)
+            if stail is not None:
+                sparts.append(stail.drop("round"))
+            if sparts:
+                seen_compact = sparts[0]
+                for p in sparts[1:]:
+                    seen_compact = seen_compact.unionByName(p)
+                # file count scales with |seen| (~1M rows per file)
+                seen_compact = seen_compact.repartition(
+                    max(1, self._seen_total() // 1_000_000 + 1)
+                )
 
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
@@ -652,6 +711,8 @@ class CrawlRun:
             ]
             if compact_state is not None:
                 futs.append(pool.submit(self.postings_state.write_round, r, compact_state))
+            if seen_compact is not None:
+                futs.append(pool.submit(self.seen_state.write_round, r, seen_compact))
             for fut in futs:
                 fut.result()  # propagate failures BEFORE the marker
 
@@ -766,7 +827,7 @@ class CrawlRun:
             # |seen| outgrew the target bits-per-key: resize to the
             # next power of two and rebuild from the seen table (one
             # aggregation) — the FP rate never saturates as n grows
-            self._bloom.rebuild(self.seen.read_all(), self._seen_total())
+            self._bloom.rebuild(self._seen_read(), self._seen_total())
         t0 = _mark("metrics_bloom", t0)
 
         cached = [decided, parsed, cand]
@@ -830,7 +891,7 @@ class CrawlRun:
         return self.frontier.read_all()
 
     def seen_df(self) -> DataFrame | None:
-        return self.seen.read_all()
+        return self._seen_read()
 
     def texts_df(self) -> DataFrame | None:
         return self.texts.read_all()

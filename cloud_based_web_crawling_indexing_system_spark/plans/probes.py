@@ -1149,6 +1149,35 @@ def q31(spark, sf_dir):
     )
 
 
+@probe(
+    "q38_knn_vectorized_topk",
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({_COS}, 4) AS cosine
+    FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id ASC) <= 5
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q38(spark, sf_dir):
+    """Exact kNN via the VECTORIZED pandas-UDF path (the input_hint's
+    'vectorized pandas/Arrow UDFs' alternative to q27's JVM fold):
+    one numpy matmul per Arrow batch prunes to per-batch top-k
+    candidates, then the shared JVM fold re-ranks exactly — same
+    oracle as q27, proving route equivalence through the driver
+    gate.  Scale shape: Python emits O(batches·Q·k) rows, never N·Q."""
+    from ..functions.simsearch import knn_topk_vectorized
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = knn_topk_vectorized(e, q, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "neighbor_id")
+
+
 # marker sets shared verbatim with functions.quality._MARKERS — the
 # oracle SQL below re-derives the SAME heuristic, so the lists must
 # stay in sync (imported, not copied)

@@ -197,6 +197,30 @@ def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
     assert {u for u, _ in got_seen.values()} == set(disc.texts.keys())
 
 
+def test_seen_checkpoint_equivalence(spark, corpus, tmp_path):
+    """Seen compaction checkpoints (round-3): with compact_every=2 the
+    crawl folds the seen rounds into seen_state checkpoints and later
+    rounds dedup against checkpoint + bounded tail — results must be
+    IDENTICAL to the uncompacted run, and the seen view must equal the
+    raw union of round dirs."""
+    run = _run(spark, tmp_path / "ck", corpus,
+               CrawlConfig(round_budget_s=1e9, compact_every=2))
+    base = _run(spark, tmp_path / "nock", corpus,
+                CrawlConfig(round_budget_s=1e9, compact_every=0))
+    assert run.seen_state.committed_rounds(), "checkpoints must actually be written"
+    assert _snap(run) == _snap(base)
+    raw = sorted(
+        (r["url_hash"], r["url"], r["first_round"])
+        for r in run.seen.read_all().collect()
+    )
+    via = sorted(
+        (r["url_hash"], r["url"], r["first_round"]) for r in run.seen_df().collect()
+    )
+    assert raw == via
+    # footer-count shortcut agrees with the authoritative row count
+    assert run._seen_total() == len(raw)
+
+
 def test_per_job_counters_fallback_groupby_path(spark, corpus, tmp_path, monkeypatch):
     """Per-job counters have two implementations: Observation-riding
     (job dim <= JOB_OBS_MAX, zero extra actions) and the

@@ -75,6 +75,28 @@ def test_brute_force_vs_ann_recall(spark):
     assert planes == srp_planes(4, 8) and all(v in (1.0, -1.0) for row in planes for v in row)
 
 
+def test_vectorized_knn_equals_jvm_fold_route(spark):
+    """knn_topk_vectorized (Arrow-batched numpy matmul candidates +
+    JVM-fold re-rank) must return EXACTLY brute_force_topk's rows —
+    the two routes are interchangeable, vectorized is the Python-path
+    option the input_hint names."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+        knn_topk_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 10), r["rk"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 10), r["rk"])
+        for r in knn_topk_vectorized(emb, queries, k=10).collect()
+    )
+    assert a == b
+
+
 def test_ivf_recall_and_determinism(spark):
     from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
         ivf_assign,
