@@ -1150,6 +1150,95 @@ def q31(spark, sf_dir):
 
 
 @probe(
+    "q39_token_len_quantiles",
+    f"""
+    {_TOKS_CTE},
+    counts AS (
+      SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok
+      FROM toks JOIN documents USING (doc_id)),
+    ranked AS (
+      SELECT source, n_tok, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM counts)
+    SELECT source, n_docs,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n_docs) AS BIGINT) THEN n_tok END) AS p50_tokens,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n_docs) AS BIGINT) THEN n_tok END) AS p90_tokens,
+           MAX(n_tok) AS max_tokens
+    FROM ranked GROUP BY source, n_docs
+    """,
+)
+def q39(spark, sf_dir):
+    """Token-length distribution stats per source (the length-filter
+    calibration step of a training-data pipeline): EXACT
+    percentile_disc via rank arithmetic — value at rn = ceil(p·n) —
+    instead of engine-specific approximate quantile sketches, so the
+    result is integer-exact and identical in Spark and DuckDB.  Scale
+    shape: one window shuffle on source + a rollup; at 100 TB swap
+    the exact window for percentile_approx with documented error."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("source"))
+    )
+
+    def disc(p: float):
+        at = F.ceil(F.lit(p) * F.col("n_docs")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("n_tok")))
+
+    return ranked.groupBy("source", "n_docs").agg(
+        disc(0.5).alias("p50_tokens"),
+        disc(0.9).alias("p90_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+@probe(
+    "q40_hash_stratified_sample",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 1) AS h
+      FROM documents),
+    sampled AS (
+      SELECT * FROM tagged
+      WHERE (lang = 'en'  AND h IN ('0','1','2','3'))
+         OR (lang <> 'en' AND h IN ('0','1','2','3','4','5','6','7')))
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sampled GROUP BY lang
+    """,
+)
+def q40(spark, sf_dir):
+    """Deterministic hash-stratified downsampling (training-data
+    mixing: keep ~25% of the majority language, ~50% of the rest) —
+    the sampling decision is a pure function of md5(doc_id||salt), so
+    it is reproducible across engines/runs/partitionings, unlike
+    rand()-based `.sample()`.  Scale shape: a narrow map + filter
+    (no shuffle at all until the rollup); this is how a 100 TB corpus
+    is re-weighted without a global sort or RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.encode(F.concat(F.col("doc_id").cast("string"), F.lit("|sample")), "utf-8")),
+        1, 1,
+    )
+    keep = (
+        ((F.col("lang") == "en") & h.isin("0", "1", "2", "3"))
+        | ((F.col("lang") != "en") & h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    )
+    return (
+        d.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@probe(
     "q38_knn_vectorized_topk",
     f"""
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
