@@ -11,6 +11,8 @@ The reference master exposes four verbs over HTTP
 - ``GET /jobs/<job_id>`` — the jobs-table row incl. per-job
   discovered/indexed counters (master.py:147-163);
 - ``GET /nodes``   — node-id -> alive/dead liveness map (master.py:215-217);
+- ``GET /suggest`` — top-5 word suggestions (offline index-vocabulary
+  equivalent of the reference's external Datamuse proxy, master.py:72-90);
 - ``GET /monitor`` — node liveness + counters (master.py:219-242);
 - ``GET /health``  — ``{"status": "healthy"}`` (master.py:68-70).
 
@@ -24,9 +26,10 @@ fixes the JOB DIM at init, so ``start_job`` accumulates jobs before
 the first ``crawl()`` and later submissions feed ``add_urls`` (the
 S10 dynamic-url source) against an existing job.
 
-Datamuse spell suggestions (master.py:85) stay out of scope: external
-network API, no sandbox equivalent; only the top-5 ``limit`` shape
-exists in the search path.
+Datamuse spell suggestions (master.py:85) are an external network API
+with no sandbox network; ``suggest`` serves the same verb offline from
+the index vocabulary (prefix-first + Levenshtein<=2, frequency-ranked,
+top-5) — a documented equivalent, not a proxy.
 """
 
 from __future__ import annotations
@@ -238,6 +241,20 @@ class CrawlService:
             for r in m.collect()
             if r["stage"] == "parse"
         }
+
+    # -- GET /suggest (master.py:72-90, offline equivalent) --------------------
+
+    def suggest(self, query: str) -> list[str]:
+        """Top-5 word suggestions for a partial query.  The reference
+        proxies the external Datamuse API; this serves the same verb
+        from the index vocabulary (prefix-first, Levenshtein<=2 typo
+        fallback, frequency-ranked) — [] on blank query or empty index,
+        like master.py:77,87-89."""
+        from .plans.search_query import suggest_terms
+
+        postings = self.run.postings_df()
+        df = suggest_terms(self.spark, postings, query)
+        return [r["term"] for r in df.collect()]
 
     # -- GET /monitor (master.py:219-242) --------------------------------------
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import parse_query
 
-__all__ = ["compile_search", "compile_search_sql"]
+__all__ = ["compile_search", "compile_search_sql", "suggest_terms"]
 
 
 def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
@@ -63,6 +63,44 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
         scored = scored.join(excluded, "url", "left_anti")  # J5
     out = scored.select("url", "frequency").orderBy(F.desc("frequency"), F.asc("url"))
     return out.limit(limit) if limit else out
+
+
+def suggest_terms(
+    spark: SparkSession, postings: DataFrame | None, raw: str, k: int = 5
+) -> DataFrame:
+    """Offline replacement for the reference's GET /suggest (O3): the
+    reference proxies the external Datamuse autocomplete API
+    (/root/reference/Cloud/scripts/master.py:72-90, top-5 words for a
+    partial query, [] on blank/error) — no network in this sandbox, so
+    suggestions come from the INDEX VOCABULARY instead: unigram terms
+    ranked prefix-matches-first, then collection frequency, then term;
+    typo tolerance via Levenshtein <= 2 (JVM built-in) with a
+    length-window block so the distance only runs on candidate terms.
+
+    Scale shape: one groupBy over postings (the same vocabulary
+    aggregate a production deployment would maintain as its own
+    table), then a narrow filter + TakeOrdered(k) — no cross join, no
+    Python."""
+    empty = spark.createDataFrame([], "term string, freq long")
+    q = (raw or "").strip().lower()
+    if not q or postings is None:
+        return empty  # master.py:77 returns [] for a blank query
+    vocab = (
+        postings.where(~F.col("term").contains(" "))  # words, not bigrams
+        .groupBy("term")
+        .agg(F.sum("frequency").alias("freq"))
+    )
+    is_prefix = F.col("term").startswith(q)
+    near = (F.abs(F.length("term") - F.lit(len(q))) <= 2) & (
+        F.levenshtein(F.col("term"), F.lit(q)) <= 2
+    )
+    return (
+        vocab.where(is_prefix | near)
+        .withColumn("_pfx", is_prefix.cast("int"))
+        .orderBy(F.desc("_pfx"), F.desc("freq"), F.asc("term"))
+        .limit(k)
+        .select("term", "freq")
+    )
 
 
 def _sql_quote(s: str) -> str:

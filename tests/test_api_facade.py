@@ -101,6 +101,13 @@ def test_full_lifecycle(spark, tiny_corpus):
     nd = svc.nodes()
     assert nd and all(v == "alive" for v in nd.values())
 
+    # GET /suggest: offline index-vocabulary autocomplete (O3)
+    assert svc.suggest("") == []  # blank -> [] like master.py:77
+    sug = svc.suggest("da")
+    assert sug and all(s.startswith("da") for s in sug[:1]) and "data" in sug
+    assert "data" in svc.suggest("datq")  # Levenshtein typo fallback
+    assert len(svc.suggest("d")) <= 5
+
     mon = svc.monitor()
     assert mon["round"] == metrics[-1]["round"]
     assert mon["counters"]["n_in"] == metrics[-1]["n_in"]
