@@ -963,3 +963,25 @@ class CrawlRun:
         from ..plans.search_query import compile_search
 
         return compile_search(self.spark, self.postings_df(), query, limit=limit)
+
+    def register_views(self, prefix: str = "crawl") -> list[str]:
+        """Expose the engine tables as temp views for ``spark.sql``
+        users: ``<prefix>_frontier_log / _seen / _texts / _postings /
+        _metrics / _job_counters``.  Each view is the same
+        checkpoint-aware plan the library methods use (postings =
+        MERGE view, seen = checkpoint + tail), so ad-hoc SQL composes
+        with Catalyst pushdown like any other table."""
+        views = {
+            f"{prefix}_frontier_log": self.frontier_log_df(),
+            f"{prefix}_seen": self.seen_df(),
+            f"{prefix}_texts": self.texts_df(),
+            f"{prefix}_postings": self.postings_df(),
+            f"{prefix}_metrics": self.metrics_df(),
+            f"{prefix}_job_counters": self.job_counters_df(),
+        }
+        out = []
+        for name, df in views.items():
+            if df is not None:
+                df.createOrReplaceTempView(name)
+                out.append(name)
+        return out

@@ -118,6 +118,17 @@ def test_full_lifecycle(spark, tiny_corpus):
     h = svc.health()
     assert h["status"] == "healthy" and h["rounds_done"] == len(metrics)
 
+    # spark.sql surface: the engine tables as temp views
+    names = svc.run.register_views()
+    assert "crawl_postings" in names and "crawl_seen" in names
+    top = spark.sql(
+        "SELECT url, SUM(frequency) AS f FROM crawl_postings "
+        "WHERE term = 'data' GROUP BY url ORDER BY f DESC, url LIMIT 1"
+    ).collect()
+    assert top and top[0]["f"] > 0
+    n_seen_sql = spark.sql("SELECT COUNT(*) AS n FROM crawl_seen").collect()[0]["n"]
+    assert n_seen_sql == svc.run.seen_df().count()
+
     # post-start submission becomes a dynamic url append (S10)
     pages = pd.read_parquet(tiny_corpus["pages"])
     seen = {r["pageUrl"] for r in svc.search("data or engine or running")}
