@@ -37,6 +37,7 @@ from __future__ import annotations
 import uuid
 
 import os
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,7 @@ class CrawlService:
         self.cfg = cfg or CrawlConfig()
         self.run = CrawlRun(spark, root, self.cfg)
         self._pending: list[dict] = []
+        self._jobs_cache = None
         # a root with committed state is a crawl to RESUME: a restarted
         # service must never re-init() over it (that would replace the
         # job dim and round-0 tables under a mid-crawl frontier)
@@ -115,14 +117,23 @@ class CrawlService:
                 if job_id_prefix
                 else str(uuid.uuid4())
             )
-            import time
-
             self._pending.append(
                 {"job_id": jid, "seed_url": u, "depth_limit": depth_limit,
                  "seed_idx": len(self._pending), "created_at": time.time()}
             )
             job_ids.append(jid)
         return {"jobIds": job_ids, "seeds": len(seeds)}
+
+    def _jobs_pdf(self):
+        """The jobs dim, read once per service: immutable after init
+        (the engine pins the job table at crawl start), so polling
+        job_status N times costs one parquet read total."""
+        if getattr(self, "_jobs_cache", None) is None:
+            jobs_path = os.path.join(self.root, "jobs.parquet")
+            if not os.path.isfile(jobs_path):
+                return None
+            self._jobs_cache = pd.read_parquet(jobs_path)
+        return self._jobs_cache
 
     def _first_job(self) -> str:
         if self.run._jobs_df is None:
@@ -138,9 +149,10 @@ class CrawlService:
                 raise ValueError("start_job first: no seeds submitted")
             seeds_df = self.spark.createDataFrame(
                 pd.DataFrame(self._pending)[
-                    ["job_id", "seed_url", "depth_limit", "seed_idx"]
+                    ["job_id", "seed_url", "depth_limit", "seed_idx", "created_at"]
                 ],
-                schema="job_id string, seed_url string, depth_limit int, seed_idx int",
+                schema="job_id string, seed_url string, depth_limit int, "
+                "seed_idx int, created_at double",
             )
             self.run.init(self.pages_path, self.robots_df, seeds_df)
             self._started = True
@@ -166,10 +178,11 @@ class CrawlService:
         (top-k, no global sort materialized); pass ``unbounded=True``
         for the faithful full result set, streamed through
         ``toLocalIterator`` so at most one partition is resident
-        driver-side at a time."""
+        driver-side at a time.  ``limit=None`` means the full result
+        set and therefore ALSO streams (never a full collect)."""
         if self.run.postings_df() is None:
             return []
-        if unbounded:
+        if unbounded or limit is None:
             df = self.run.search(query, limit=None)
             return [
                 {"pageUrl": r["url"], "frequency": r["frequency"]}
@@ -201,10 +214,9 @@ class CrawlService:
                     "status": "PENDING",
                     "createdAt": float(p["created_at"]),
                 }
-        jobs_path = os.path.join(self.root, "jobs.parquet")
-        if not os.path.isfile(jobs_path):
+        jobs = self._jobs_pdf()
+        if jobs is None:
             return {"error": "Job not found"}  # master.py:162
-        jobs = pd.read_parquet(jobs_path)
         row = jobs[jobs["job_id"] == job_id]
         if row.empty:
             return {"error": "Job not found"}
@@ -232,14 +244,26 @@ class CrawlService:
         committed round's per-partition parse lineage; every partition
         that committed output is alive (a dead executor's task was
         re-run elsewhere — Spark's task retry IS the liveness
-        mechanism, SURVEY §2.9 C7)."""
-        m = self.run.monitor_df()
+        mechanism, SURVEY §2.9 C7).  An idle latest round (nothing
+        fetched, so no parse lineage) falls back to the most recent
+        round that DID parse — liveness is about nodes, not about the
+        last round having had work (master.py reports registered
+        nodes regardless)."""
+        m = self.run.metrics_df()
         if m is None:
             return {}
+        rows = (
+            m.where(F.col("stage") == "parse")
+            .orderBy(F.desc("round"), F.asc("partition_id"))
+            .collect()
+        )
+        if not rows:
+            return {}
+        last_parse_round = rows[0]["round"]
         return {
             f"partition-{r['partition_id']}": "alive"
-            for r in m.collect()
-            if r["stage"] == "parse"
+            for r in rows
+            if r["round"] == last_parse_round
         }
 
     # -- GET /suggest (master.py:72-90, offline equivalent) --------------------

@@ -132,7 +132,10 @@ def knn_topk_vectorized(
                 idx = np.nonzero(ids != qid)[0]
                 if len(idx) == 0:
                     continue
-                order = idx[np.argsort(-cos[idx, j], kind="stable")][:take]
+                # tie-break by neighbor id ASC within equal cosine —
+                # the SAME order as the final rank, so exact ties
+                # beyond the buffer cannot evict a true top-k member
+                order = idx[np.lexsort((ids[idx], -cos[idx, j]))][:take]
                 out_q.extend([qid] * len(order))
                 out_n.extend(ids[order].tolist())
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})

@@ -131,7 +131,18 @@ class CrawlRun:
 
         import time as _time
 
-        created_at = _time.time()
+        init_ts = _time.time()
+        has_created = "created_at" in seeds.columns
+
+        def _created(row) -> float:
+            # submission timestamp travels with the seed when the
+            # caller provides one (master.py:129-136 stamps the jobs
+            # row at POST time); init time is only the fallback
+            if has_created and pd.notna(getattr(row, "created_at", None)):
+                ca = row.created_at
+                return float(ca.timestamp() if hasattr(ca, "timestamp") else ca)
+            return init_ts
+
         for r in seeds.itertuples():
             url = canonicalize_full(r.seed_url) if cfg.canonicalization == "full" else r.seed_url
             # job config from the CANONICAL seed in full mode: the F3
@@ -150,7 +161,7 @@ class CrawlRun:
                     # init_db.py:18), submission timestamp
                     "seed_url": r.seed_url,
                     "status": "PENDING",
-                    "created_at": created_at,
+                    "created_at": _created(r),
                 }
             )
             h = url_md5(url)
@@ -237,9 +248,19 @@ class CrawlRun:
         ]
         return cks[-1] if cks else None
 
+    def _visible_seen_upto(self) -> int:
+        """Default visibility bound for the CURRENT seen state: round r
+        commits seen(r+1) and THEN metrics(r), so seen rounds <= done+1
+        are final and anything beyond is a crashed round's pending
+        replay (the same completed-round rule postings_df applies)."""
+        done = self.metrics.last_round()
+        return 0 if done is None else done + 1
+
     def _seen_read(self, upto: int | None = None) -> DataFrame | None:
         """The seen set (rounds <= upto) as checkpoint + bounded tail —
         O(1) dirs + <compact_every tail dirs, NOT O(#rounds)."""
+        if upto is None:
+            upto = self._visible_seen_upto()
         ck = self._seen_ck(upto)
         if ck is None:
             df = self.seen.read_all(upto=upto)
@@ -248,12 +269,20 @@ class CrawlRun:
         tail = self.seen.read_all(after=ck, upto=upto)
         return df if tail is None else df.unionByName(tail.drop("round"))
 
-    def _seen_total(self) -> int:
+    def _seen_total(self, upto: int | None = None) -> int:
         """|seen| from parquet footers — no Spark job; checkpoint +
-        tail keeps it O(1) + bounded instead of O(#rounds) dirs."""
-        ck = self._seen_ck()
+        tail keeps it O(1) + bounded instead of O(#rounds) dirs.
+        Visibility matches _seen_read (completed rounds) unless the
+        caller passes an explicit ``upto`` (the in-round bloom sync
+        counts the just-committed seen(r+1) before the marker)."""
+        if upto is None:
+            upto = self._visible_seen_upto()
+        ck = self._seen_ck(upto)
         total = self.seen_state.count_round(ck) if ck is not None else 0
-        rounds = [x for x in self.seen.committed_rounds() if ck is None or x > ck]
+        rounds = [
+            x for x in self.seen.committed_rounds()
+            if (ck is None or x > ck) and x <= upto
+        ]
         return total + sum(self.seen.count_round(x) for x in rounds)
 
     def _activate_bloom(self) -> None:
@@ -727,8 +756,10 @@ class CrawlRun:
             self._bloom.add_positions_df(new_seen)
             # clamp the sizing counter to the authoritative |seen|
             # (parquet footers, free): crash replays and duplicate
-            # hashes would otherwise inflate it and fire early rebuilds
-            self._bloom.sync_n_keys(self._seen_total())
+            # hashes would otherwise inflate it and fire early rebuilds.
+            # upto=r+1: the marker isn't written yet but seen(r+1) IS
+            # in the bloom, so the count must include it
+            self._bloom.sync_n_keys(self._seen_total(upto=r + 1))
         t0 = _mark("commit", t0)
 
         # the commit jobs materialized every observed dataframe, so the
@@ -968,9 +999,14 @@ class CrawlRun:
         """Expose the engine tables as temp views for ``spark.sql``
         users: ``<prefix>_frontier_log / _seen / _texts / _postings /
         _metrics / _job_counters``.  Each view is the same
-        checkpoint-aware plan the library methods use (postings =
+        checkpoint-aware plan the library methods build (postings =
         MERGE view, seen = checkpoint + tail), so ad-hoc SQL composes
-        with Catalyst pushdown like any other table."""
+        with Catalyst pushdown like any other table.
+
+        SNAPSHOT semantics: the round-directory list is resolved at
+        registration time, so the views see the state as of THIS call
+        — after further crawl rounds, call ``register_views()`` again
+        to refresh (the library methods re-resolve on every call)."""
         views = {
             f"{prefix}_frontier_log": self.frontier_log_df(),
             f"{prefix}_seen": self.seen_df(),

@@ -49,6 +49,9 @@ def test_full_lifecycle(spark, tiny_corpus):
     assert pre["seedUrl"] and pre["createdAt"] > 0
 
     metrics = svc.crawl()
+    # createdAt is the SUBMISSION timestamp and survives the crawl
+    # (the reference stamps the jobs row at POST time, master.py:129-136)
+    assert svc.job_status(job["jobIds"][0])["createdAt"] == pre["createdAt"]
     assert metrics and sum(m["n_fetched"] for m in metrics) > 0
 
     # GET /search matches the oracle over the same corpus

@@ -10,6 +10,7 @@
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
 from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig, crawl_oracle
@@ -219,6 +220,39 @@ def test_seen_checkpoint_equivalence(spark, corpus, tmp_path):
     assert raw == via
     # footer-count shortcut agrees with the authoritative row count
     assert run._seen_total() == len(raw)
+
+
+def test_seen_checkpoint_with_interleaved_dynamic_seeds(spark, corpus, tmp_path):
+    """add_seeds between rounds writes seen(last_done+1), which is
+    always BEYOND any usable checkpoint — the injected urls must stay
+    visible to dedup and views under compact_every=2."""
+    cfg = CrawlConfig(round_budget_s=1e9, compact_every=2, max_rounds=3)
+    run = _run_steps(spark, tmp_path / "dyn", corpus, cfg)
+    assert run.seen_state.committed_rounds()  # a checkpoint exists
+    # an off-corpus url: enters seen at injection (discovery mode),
+    # fetch fails -> never indexed; visibility is what's under test
+    uncrawled = "http://injected.example.net/x.html"
+    jid = pd.read_parquet(corpus["seeds"]).job_id.iloc[0]
+    run.add_seeds([uncrawled], job_id=jid, depth=1)
+    # injected url is in the seen view immediately (checkpoint + tail)
+    assert run.seen_df().where(F.col("url") == uncrawled).count() == 1
+    # and re-injecting it later is deduped against checkpointed state
+    run.run(max_rounds=6)
+    run.add_seeds([uncrawled], job_id=jid, depth=1)
+    assert run.seen_df().where(F.col("url") == uncrawled).count() == 1
+    texts = run.texts_df()
+    assert texts.where(texts.url == uncrawled).count() <= 1  # fetched at most once
+
+
+def _run_steps(spark, root, corpus, cfg):
+    run = CrawlRun(spark, str(root), cfg)
+    run.init(
+        corpus["pages"],
+        spark.read.parquet(corpus["robots"]),
+        spark.read.parquet(corpus["seeds"]),
+    )
+    run.run()
+    return run
 
 
 def test_per_job_counters_fallback_groupby_path(spark, corpus, tmp_path, monkeypatch):
