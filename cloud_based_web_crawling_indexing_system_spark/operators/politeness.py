@@ -43,8 +43,10 @@ def admit_defer(
     salts: int = 8,
 ) -> DataFrame:
     """Adds boolean ``admitted``; rows with admitted=false are the
-    deferrals.  ``df`` must carry host, depth, url and ``budget_col``.
-    """
+    deferrals.  ``df`` must carry ``host`` plus every ORDER_COLS
+    column (depth, url, job_id, seed_idx) and ``budget_col`` —
+    (job_id, seed_idx) refine duplicate-url ties in index-dedup mode,
+    see the module comment."""
     order = [F.col(c) for c in ORDER_COLS]
     if salts <= 1:
         w = Window.partitionBy("host").orderBy(*order)

@@ -62,7 +62,8 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
         excluded = postings.join(F.broadcast(exdf), "term").select("url").distinct()
         scored = scored.join(excluded, "url", "left_anti")  # J5
     out = scored.select("url", "frequency").orderBy(F.desc("frequency"), F.asc("url"))
-    return out.limit(limit) if limit else out
+    # `is not None`, not truthiness: limit=0 means ZERO rows, not all
+    return out.limit(limit) if limit is not None else out
 
 
 def suggest_terms(
@@ -123,7 +124,7 @@ def compile_search_sql(postings_table: str, raw: str, limit: int | None = None) 
         ex_clause = (
             f" AND url NOT IN (SELECT url FROM {postings_table} WHERE term IN ({ex_list}))"
         )
-    lim = f" LIMIT {limit}" if limit else ""
+    lim = f" LIMIT {limit}" if limit is not None else ""
     return (
         f"SELECT url, CAST(SUM(frequency) AS BIGINT) AS frequency FROM {postings_table} "
         f"WHERE term IN ({in_list}){ex_clause} "

@@ -62,13 +62,20 @@ class RoundTable:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self._data_dir, f"round={rnd:06d}")
 
-    def write_round(self, rnd: int, df: DataFrame, meta: dict | None = None) -> None:
-        """Replace-write round ``rnd`` then commit it (Iceberg:
-        ``overwrite(col('round')==rnd)`` in one snapshot)."""
-        rd = self._round_dir(rnd)
-        if os.path.isdir(rd):
-            shutil.rmtree(rd)  # idempotent replay of an uncommitted/re-run round
-        df.write.mode("overwrite").parquet(rd)
+    def _uncommit(self, rnd: int) -> None:
+        """Drop the commit marker BEFORE touching a round's data dir:
+        'readers only see rounds with a marker' must hold THROUGH the
+        rewrite window of a replayed round, not just between writes —
+        otherwise a reader that listed the still-committed round races
+        the rmtree and fails on the vanished directory.  (Same
+        marker-first order truncate_after uses.)"""
+        mk = os.path.join(self._commit_dir, f"{rnd:06d}.json")
+        if os.path.isfile(mk):
+            os.remove(mk)
+
+    def _commit(self, rnd: int, meta: dict | None = None) -> None:
+        """Atomic commit marker (tmp json + rename) — the ONE copy of
+        the marker protocol, shared by both write paths."""
         os.makedirs(self._commit_dir, exist_ok=True)
         marker = {"round": rnd, "ts": time.time(), **(meta or {})}
         tmp = os.path.join(self._commit_dir, f".{rnd:06d}.json.tmp")
@@ -76,13 +83,24 @@ class RoundTable:
             json.dump(marker, f)
         os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))  # atomic
 
-    def write_round_pandas(self, rnd: int, pdf, schema) -> None:
+    def write_round(self, rnd: int, df: DataFrame, meta: dict | None = None) -> None:
+        """Replace-write round ``rnd`` then commit it (Iceberg:
+        ``overwrite(col('round')==rnd)`` in one snapshot)."""
+        rd = self._round_dir(rnd)
+        self._uncommit(rnd)
+        if os.path.isdir(rd):
+            shutil.rmtree(rd)  # idempotent replay of an uncommitted/re-run round
+        df.write.mode("overwrite").parquet(rd)
+        self._commit(rnd, meta)
+
+    def write_round_pandas(self, rnd: int, pdf, schema, meta: dict | None = None) -> None:
         """Driver-side replace-write for TINY round payloads (metrics):
         one pyarrow file, no Spark job at all."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         rd = self._round_dir(rnd)
+        self._uncommit(rnd)
         if os.path.isdir(rd):
             shutil.rmtree(rd)
         os.makedirs(rd, exist_ok=True)
@@ -93,11 +111,7 @@ class RoundTable:
         tmp = os.path.join(rd, ".part-00000.parquet.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(rd, "part-00000.parquet"))
-        os.makedirs(self._commit_dir, exist_ok=True)
-        tmp = os.path.join(self._commit_dir, f".{rnd:06d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"round": rnd, "ts": time.time()}, f)
-        os.replace(tmp, os.path.join(self._commit_dir, f"{rnd:06d}.json"))
+        self._commit(rnd, meta)
 
     def file_row_counts(self, rnd: int) -> list[int]:
         """Per-file (== per-writing-partition) row counts from parquet

@@ -46,8 +46,11 @@ def page_ingest_stream(
     watermark: str = "1 hour",
 ) -> StreamingQuery:
     """Ingest page parquet drops: watermark on capture time, drop
-    duplicate urls within the watermark (first capture wins), append
-    to the corpus sink exactly-once via the checkpointed sink.
+    duplicate urls within the watermark (first ARRIVAL wins — the row
+    processed first is kept, which is the reference's seen_urls-claim
+    semantics; it is NOT min-warc_ts: a re-capture whose file arrives
+    before the original's keeps the re-capture), append to the corpus
+    sink exactly-once via the checkpointed sink.
 
     ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
     so the watermark actually scopes AND EVICTS the dedup state — with
@@ -102,8 +105,11 @@ def host_stats_stream(
         total, last_ts = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             total += len(pdf)
-            if len(pdf):
-                last_ts = max(last_ts, int(pdf["ts"].max()))
+            # dropna: warc_ts is nullable, and an all-null batch's
+            # max() is NaN — int(NaN) would kill the streaming query
+            ts = pdf["ts"].dropna()
+            if len(ts):
+                last_ts = max(last_ts, int(ts.max()))
         state.update((total, last_ts))
         yield pd.DataFrame(
             {"host": [key[0]], "n_pages": [total], "last_ts": [last_ts]}
@@ -141,9 +147,15 @@ def live_metrics_stream(
     into place).  Monitor semantics, not a ledger: a crashed round's
     rows are visible until its replay rewrites them, and the file
     source keys by path so the (deterministic, identical) rewrite is
-    not re-read."""
+    not re-read.  ``ignoreMissingFiles``: a replay DELETES the round
+    file before rewriting it (lake.py replace-write) — a micro-batch
+    that listed the old file must skip it, not kill the query."""
     schema = "round int, partition_id int, stage string, key string, value long"
-    stream = spark.readStream.schema(schema).parquet(metrics_data_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(metrics_data_dir)
+    )
     agg = stream.groupBy("stage", "key").agg(
         F.sum("value").alias("total"), F.count("*").alias("n_rows")
     )

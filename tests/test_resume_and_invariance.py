@@ -3,6 +3,52 @@ invariance, and mid-crawl seed append (SURVEY.md §5.3 property tests).
 """
 
 import pandas as pd
+
+
+def test_lake_replay_uncommits_before_rewrite(spark, tmp_path):
+    """The commit-log invariant must hold THROUGH a replay's rewrite
+    window: write_round drops the marker BEFORE deleting the data dir,
+    so a crash mid-rewrite leaves an uncommitted (invisible) round,
+    never a committed round with a vanished directory."""
+    import os
+
+    from cloud_based_web_crawling_indexing_system_spark.sources.lake import RoundTable
+
+    rt = RoundTable(spark, str(tmp_path / "tbl"))
+    rt.write_round(0, spark.range(5).toDF("id"))
+    rt.write_round(1, spark.range(3).toDF("id"))
+    assert rt.committed_rounds() == [0, 1]
+
+    # model the replay crash: marker dropped, data dir deleted, crash
+    # before the rewrite lands
+    rt._uncommit(1)
+    import shutil
+
+    shutil.rmtree(rt._round_dir(1))
+    assert rt.committed_rounds() == [0]
+    assert rt.read_all().count() == 5  # no PATH_NOT_FOUND on the gone dir
+    assert rt.last_round() == 0
+
+    # the replayed write recommits atomically
+    rt.write_round(1, spark.range(3).toDF("id"))
+    assert rt.committed_rounds() == [0, 1] and rt.read_all().count() == 8
+    assert os.path.isfile(os.path.join(rt._commit_dir, "000001.json"))
+
+
+def test_search_limit_zero_means_zero_rows(spark):
+    from cloud_based_web_crawling_indexing_system_spark.plans.search_query import (
+        compile_search,
+        compile_search_sql,
+    )
+
+    postings = spark.createDataFrame(
+        [("data", "j", "u1", "h1", 3), ("data", "j", "u2", "h2", 1)],
+        "term string, job_id string, url string, url_hash string, frequency long",
+    )
+    assert compile_search(spark, postings, "data", limit=0).count() == 0
+    assert compile_search_sql("p", "data", limit=0).strip().endswith("LIMIT 0")
+    assert compile_search(spark, postings, "data", limit=1).count() == 1
+    assert compile_search(spark, postings, "data", limit=None).count() == 2
 import pytest
 
 from cloud_based_web_crawling_indexing_system_spark.operators.crawl import CrawlRun
