@@ -3,9 +3,16 @@
 The reference uses BeautifulSoup with the ``html.parser`` builder:
 
 - crawl-side text:  ``BeautifulSoup(html,'html.parser').get_text()``
-  (/root/reference/Cloud/scripts/crawler_worker.py:181-182) — note NO
-  separator and NO script/style strip, so script/style bodies are
-  *included*.
+  (/root/reference/Cloud/scripts/crawler_worker.py:181-182).  The
+  reference pins NO bs4 version (requirements.txt:4 is bare
+  ``beautifulsoup4``), so any current install gets bs4 >= 4.9.0
+  (2020-04), where the html.parser builder stores ``<script>`` /
+  ``<style>`` contents as ``Script``/``Stylesheet`` string subclasses
+  that ``get_text()`` EXCLUDES (exact-type ``interesting_string_types``
+  check; see the bs4 4.9.0 changelog / "NavigableString subclasses"
+  docs).  So crawl text contains no script/style bodies.  (Pre-4.9
+  bs4 included them; re-enabling that legacy mode is the one-line
+  ``kind == _CDATA`` inclusion in ``extract_text_crawl``.)
 - index-side text: re-parse the crawl-side text, ``decompose()`` every
   ``<script>``/``<style>`` tag, then ``get_text(separator=' ')``
   (/root/reference/Cloud/scripts/indexer_worker.py:135-138).  Because
@@ -21,15 +28,25 @@ the exact event stream bs4's ``html.parser`` tree builder sees, using
 the same stdlib ``html.parser.HTMLParser`` bs4 wraps:
 
 - ``convert_charrefs=True`` (bs4 default): entities decoded in text
-  and attribute values; runs of text+charrefs coalesce into single
-  text nodes, split only at tags/comments/declarations.
+  and attribute values.
+- CONSECUTIVE data events coalesce into ONE text node, exactly like
+  bs4's ``current_data`` buffer (flushed by ``endData()`` on every
+  tag/comment/declaration/PI event): a literal ``<`` that fails to
+  open a tag splits the stdlib event stream but NOT the node stream,
+  so ``get_text(' ')`` must not insert separators around it.
 - ``<script>``/``<style>`` bodies arrive as raw CDATA text nodes (no
-  entity decoding) — included by ``get_text()``, excluded after
-  ``decompose()``.
-- comments / doctype / processing instructions are NOT text nodes.
+  entity decoding) — excluded by ``get_text()`` (bs4 >= 4.9, above)
+  and by ``decompose()``.
+- comments / doctype / processing instructions are NOT text nodes but
+  DO split adjacent text into separate nodes (bs4 flushes around
+  them).
 - ``get_text(sep)`` = ``sep.join`` over text nodes in document order.
 - valueless attributes become ``''`` (bs4 HTMLParserTreeBuilder),
   duplicate attributes: last occurrence wins.
+- ``<template>`` contents (TemplateString in bs4 >= 4.9) are NOT
+  modeled — stdlib parses them as normal markup; template tags do not
+  occur in the fixture corpora and are vanishingly rare in the
+  reference's university-site use case.
 
 The same functions run inside the engine's Arrow UDFs
 (functions/udfs.py) and inside the single-threaded oracle
@@ -64,48 +81,69 @@ class _SoupEvents(HTMLParser):
         self.texts: list[tuple[int, str]] = []  # (kind, data) in doc order
         self.anchors: list[dict[str, str]] = []  # attr dicts of <a> tags
         self._cdata_depth = 0  # inside <script>/<style>
+        self._buf: list[str] = []  # bs4's current_data coalesce buffer
+        self._buf_kind = _DATA
+
+    def _flush(self) -> None:
+        """bs4's ``endData()``: consecutive data events between any
+        two structural events become ONE NavigableString."""
+        if self._buf:
+            self.texts.append((self._buf_kind, "".join(self._buf)))
+            self._buf = []
+
+    @staticmethod
+    def _attr_dict(attrs) -> dict[str, str]:
+        # bs4 HTMLParserTreeBuilder: last duplicate wins, None -> ''
+        d: dict[str, str] = {}
+        for k, v in attrs:
+            d[k] = v if v is not None else ""
+        return d
 
     # -- tags ---------------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush()
         if tag in ("script", "style"):
             self._cdata_depth += 1
         if tag == "a":
-            d: dict[str, str] = {}
-            for k, v in attrs:  # last duplicate wins, None -> ''
-                d[k] = v if v is not None else ""
-            self.anchors.append(d)
+            self.anchors.append(self._attr_dict(attrs))
 
     def handle_endtag(self, tag: str) -> None:
+        self._flush()
         if tag in ("script", "style") and self._cdata_depth:
             self._cdata_depth -= 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <a href=x/> still carries the attribute; script/style
         # self-closing tags have no CDATA body.
+        self._flush()
         if tag == "a":
-            d: dict[str, str] = {}
-            for k, v in attrs:
-                d[k] = v if v is not None else ""
-            self.anchors.append(d)
+            self.anchors.append(self._attr_dict(attrs))
 
     # -- text nodes -----------------------------------------------------
     def handle_data(self, data: str) -> None:
         if data:
-            kind = _CDATA if self._cdata_depth else _DATA
-            self.texts.append((kind, data))
+            # kind is stable within a run: tags flush the buffer and
+            # only tags can toggle the cdata state
+            self._buf_kind = _CDATA if self._cdata_depth else _DATA
+            self._buf.append(data)
 
-    # comments / doctype / PIs are not NavigableStrings -> ignored
-    def handle_comment(self, data: str) -> None:  # pragma: no cover
-        pass
+    # comments / doctype / PIs are not NavigableStrings, but they DO
+    # split adjacent text runs (bs4 calls endData around each)
+    def handle_comment(self, data: str) -> None:
+        self._flush()
 
-    def handle_decl(self, decl: str) -> None:  # pragma: no cover
-        pass
+    def handle_decl(self, decl: str) -> None:
+        self._flush()
 
-    def handle_pi(self, data: str) -> None:  # pragma: no cover
-        pass
+    def handle_pi(self, data: str) -> None:
+        self._flush()
 
-    def unknown_decl(self, data: str) -> None:  # pragma: no cover
-        pass
+    def unknown_decl(self, data: str) -> None:
+        self._flush()
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
 
 
 def parse_events(html: str) -> _SoupEvents:
@@ -116,10 +154,12 @@ def parse_events(html: str) -> _SoupEvents:
 
 
 def extract_text_crawl(html: str) -> str:
-    """P2: ``soup.get_text()`` — all text nodes, no separator, script
-    and style bodies included (crawler_worker.py:181-182)."""
+    """P2: ``soup.get_text()`` — no separator; script/style bodies
+    EXCLUDED (bs4 >= 4.9 Script/Stylesheet strings are not
+    'interesting', see module docstring; the reference pins no bs4
+    version so modern behavior governs, crawler_worker.py:181-182)."""
     ev = parse_events(html)
-    return "".join(t for _, t in ev.texts)
+    return "".join(t for kind, t in ev.texts if kind == _DATA)
 
 
 def extract_text_index(content: str) -> str:

@@ -2,16 +2,28 @@
 
 The reference parses robots.txt once per origin with stdlib
 ``urllib.robotparser.RobotFileParser`` and caches the parser
-(/root/reference/Cloud/scripts/crawler_worker.py:134-145).  A failed
-read leaves an empty parser (Cloud) or ``None`` (Local) — both allow
-everything ("allow on error", /root/reference/Local/crawler.py:33-40).
-The crawl gate is ``rp.can_fetch("*", url)`` and the politeness delay
-is ``rp.crawl_delay("*") or DEFAULT_DELAY`` — note the ``or``: an
+(/root/reference/Cloud/scripts/crawler_worker.py:134-145).  The crawl
+gate is ``rp.can_fetch("*", url)`` and the politeness delay is
+``rp.crawl_delay("*") or DEFAULT_DELAY`` — note the ``or``: an
 explicit ``Crawl-delay: 0`` falls back to the 1.0 s default
 (/root/reference/Cloud/scripts/crawler_worker.py:41,146-149).
 
+What a NULL body models, precisely: a host with NO robots.txt — the
+HTTP 404 case, where ``RobotFileParser.read()`` sets
+``allow_all=True`` and the Local pipeline's ``None`` parser allows
+everything (/root/reference/Local/crawler.py:33-40).  Both reference
+pipelines ALLOW in that case, and so does this table.  The distinct
+network-failure case (connection error: ``rp.read()`` raises, the
+Cloud worker caches a never-parsed parser whose ``can_fetch`` returns
+False because ``last_checked`` is unset — i.e. Cloud DENIES the host,
+Local allows it) is NOT modeled: there is no network in the
+pages-table world, so fetches don't fail at the transport layer.  A
+deny-all host is expressible directly as ``robots_txt='User-agent:
+*\\nDisallow: /'`` if a test wants the Cloud failure behavior.
+
 Here there is no network: the robots corpus is a table
-``(host, robots_txt)`` where a NULL/absent body models a failed fetch.
+``(host, robots_txt)`` where a NULL/absent body means "no robots.txt
+published" (the 404 / allow-all case).
 Parsers are built once per distinct host (the robots dim is tiny
 relative to the frontier) and consulted through a per-batch cache in
 the Arrow UDF (functions/udfs.py).
@@ -41,7 +53,9 @@ class RobotsRules:
 
     def __init__(self, robots_txt: str | None):
         if robots_txt is None:
-            # failed fetch -> allow-all, no robots delay
+            # no robots.txt published (HTTP 404 -> allow_all=True in
+            # RobotFileParser.read; see module docstring for why the
+            # transport-failure deny case is out of the data model)
             self._rp = None
             self.crawl_delay = None
         else:

@@ -88,5 +88,9 @@ def simhash_combine() -> Column:
 
 
 def stopword_count(tokens_col: str, stopwords: list[str]) -> Column:
-    arr = ",".join("'" + w + "'" for w in stopwords)
+    if not stopwords:
+        return F.lit(0)  # 'IN ()' is a parse error
+    # doubled-quote escaping: a stopword containing ' must not break
+    # the lambda expression
+    arr = ",".join("'" + w.replace("'", "''") + "'" for w in stopwords)
     return F.expr(f"size(filter({tokens_col}, t -> t IN ({arr})))")

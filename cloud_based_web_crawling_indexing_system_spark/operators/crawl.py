@@ -47,7 +47,7 @@ from ..functions.udfs import (
     term_freqs_udf,
     url_meta_udf,
 )
-from ..oracle import CrawlConfig
+from ..oracle import INF_BUDGET, CrawlConfig
 from ..sources.lake import RoundTable
 from .politeness import admit_defer
 from .seen import BloomSeen, filter_new
@@ -425,9 +425,14 @@ class CrawlRun:
             .withColumn("delay", F.coalesce(F.col("delay"), F.lit(cfg.default_delay)))
             .withColumn(
                 "budget",
-                F.greatest(
-                    F.lit(1), F.floor(F.lit(cfg.round_budget_s) / F.col("delay"))
-                ).cast("int"),
+                # delay <= 0 (legal: the reference's DELAY=0 is just
+                # sleep(0)) -> unlimited, same INF_BUDGET as the oracle
+                F.when(
+                    F.col("delay") > 0,
+                    F.greatest(
+                        F.lit(1), F.floor(F.lit(cfg.round_budget_s) / F.col("delay"))
+                    ).cast("int"),
+                ).otherwise(F.lit(INF_BUDGET)),
             )
             .drop("robots_txt")
         )

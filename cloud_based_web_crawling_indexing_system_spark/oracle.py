@@ -50,6 +50,11 @@ from .functions.urlnorm import canonicalize_full, host_hash31, url_md5
 
 __all__ = ["CrawlConfig", "OracleResult", "crawl_oracle", "parse_query", "search_oracle"]
 
+# budget for a zero/negative effective delay (cfg.default_delay=0 is
+# legal — the reference's DELAY=0 just means time.sleep(0), i.e. no
+# throttle): "unlimited", same constant in oracle and engine
+INF_BUDGET = (1 << 31) - 1
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -185,7 +190,7 @@ def crawl_oracle(
                 continue
             rules = rules_by_host.get(row["host"], allow_all)
             delay = rules.crawl_delay if rules.crawl_delay is not None else cfg.default_delay
-            budget = max(1, int(cfg.round_budget_s / delay))
+            budget = max(1, int(cfg.round_budget_s / delay)) if delay > 0 else INF_BUDGET
             k = per_host_seen.get(row["host"], 0)
             if k < budget:
                 admitted.append(row)
@@ -251,8 +256,10 @@ def crawl_oracle(
                     child = _canon(cfg, link)
                     # F3 compares hosts in the canonical regime (in
                     # reference mode _canon is identity, so this is
-                    # exactly the raw comparison)
-                    if not job["domain"] and urlparse(child).netloc != job["seed_netloc"]:
+                    # exactly the raw comparison); ONE parse of the
+                    # canonical child serves both F3 and the frontier
+                    child_host = urlparse(child).netloc
+                    if not job["domain"] and child_host != job["seed_netloc"]:
                         continue  # F3
                     h = url_md5(child)
                     m["n_disc"] += 1
@@ -263,7 +270,7 @@ def crawl_oracle(
                         m["n_new"] += 1
                     next_frontier.append(
                         {"job_id": row["job_id"], "url": child, "url_hash": h,
-                         "host": urlparse(child).netloc, "depth": row["depth"] + 1,
+                         "host": child_host, "depth": row["depth"] + 1,
                          "tries": 0, "seed_idx": row["seed_idx"]}
                     )
 

@@ -198,6 +198,40 @@ def test_cloud_index_dedup_compat_mode(spark, corpus, tmp_path):
     assert {u for u, _ in got_seen.values()} == set(disc.texts.keys())
 
 
+def test_zero_default_delay_parity(spark, corpus, tmp_path):
+    """default_delay=0 is legal (the reference's DELAY=0 is just
+    time.sleep(0)): the engine and oracle both treat a zero effective
+    delay as an unlimited budget (INF_BUDGET) instead of crashing
+    (oracle) or misplanning (engine); robots-file delays still bind."""
+    cfg = CrawlConfig(round_budget_s=30.0, default_delay=0.0, max_rounds=4)
+    run = _run(spark, tmp_path / "zdelay", corpus, cfg)
+    oracle = crawl_oracle(
+        pd.read_parquet(corpus["pages"]),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        cfg,
+    )
+    em = [
+        {r["key"]: r["value"] for r in rows}
+        for rows in _round_metric_rows(run)
+    ]
+    assert len(em) == len(oracle.metrics[: len(em)])
+    for e, o in zip(em, oracle.metrics):
+        for k in ("n_in", "n_deferred", "n_fetched", "n_new"):
+            assert e[k] == o[k], f"{k}: {e[k]} != {o[k]}"
+    got = {r["url_hash"] for r in run.seen_df().collect()}
+    # compare against the oracle truncated to the same round count
+    assert got <= set(oracle.seen)
+
+
+def _round_metric_rows(run):
+    m = run.metrics_df().where(F.col("stage") == "round").collect()
+    by_round = {}
+    for r in m:
+        by_round.setdefault(r["round"], []).append(r)
+    return [by_round[k] for k in sorted(by_round)]
+
+
 def test_seen_checkpoint_equivalence(spark, corpus, tmp_path):
     """Seen compaction checkpoints (round-3): with compact_every=2 the
     crawl folds the seen rounds into seen_state checkpoints and later

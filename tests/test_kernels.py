@@ -24,9 +24,12 @@ HTML = (
 )
 
 
-def test_crawl_text_includes_script_style_and_decodes_entities():
+def test_crawl_text_excludes_script_style_and_decodes_entities():
+    # bs4 >= 4.9 (the reference pins no version): script/style strings
+    # are Script/Stylesheet nodes that get_text() EXCLUDES under
+    # html.parser — crawl text carries only visible text
     t = extract_text_crawl(HTML)
-    assert "var x=1;" in t and "b{}" in t
+    assert "var x=1;" not in t and "b{}" not in t
     assert "Hello & world" in t
     assert "c" not in t.split()  # comment excluded
 
@@ -37,15 +40,26 @@ def test_index_text_double_decode_quirk():
     t2 = extract_text_crawl("<p>a &amp;lt;b&amp;gt; c</p>")
     assert t2 == "a &lt;b&gt; c"
     assert extract_text_index(t2) == "a <b> c"
-    # a RAW '<' surviving P2 (e.g. script bodies) does open a bogus
-    # tag in P3 and swallows text to the next '>'
+    # a RAW '<' that DOES open a bogus tag in P3 swallows text to the
+    # next '>'
     assert extract_text_index("x if(a<b) y>z") == "x if(a z"
 
 
-def test_reference_composition_drops_markup_keeps_script_text():
+def test_data_runs_coalesce_like_bs4_current_data():
+    # '<' followed by whitespace fails to open a tag: stdlib emits
+    # 'a ', '<', ' b' as THREE data events, which bs4 coalesces into
+    # ONE NavigableString — get_text(' ') must not inject separators
+    assert extract_text_index("a < b") == "a < b"
+    # but a comment IS a node boundary (bs4 flushes around it)
+    assert extract_text_index("a<!--x-->b") == "a b"
+
+
+def test_reference_composition_drops_markup_and_script_text():
     t = extract_text_reference(HTML)
-    # script/style bodies survive (P2 kept them, P3 sees no tags)
-    assert "var x=1;" in t
+    # script/style bodies never reach the index (excluded at P2 by
+    # bs4>=4.9 get_text, and P3's decompose would drop them anyway)
+    assert "var x=1;" not in t and "b{}" not in t
+    assert "Hello & world" in t
     assert "<" not in t
 
 
