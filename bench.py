@@ -102,6 +102,29 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", app_name="cbwcis-bench")
     spark.range(1000).count()  # warm up
 
+    # machine-speed calibration: two FIXED workloads (one JVM, one
+    # Python-kernel) timed alongside the queries.  This sandbox VM's
+    # effective CPU swings up to ~4x between runs (hypervisor
+    # co-tenancy, measured in BENCH/PROFILE_r03.md), so round-over-
+    # round comparisons must normalize by these anchors, not read
+    # absolute walls.
+    from cloud_based_web_crawling_indexing_system_spark.functions.terms import (
+        term_freqs,
+    )
+
+    t0 = time.time()
+    # % bounds the terms so the ANSI-mode sum cannot overflow long
+    spark.range(30_000_000).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+    jvm_calib = round(time.time() - t0, 3)
+    t0 = time.time()
+    for i in range(40):
+        # vary the text per iteration: term_freqs memoizes stems, and
+        # 40 identical calls would time the cache, not the kernel
+        term_freqs(
+            " ".join(f"run{i}x{j} jumps relational conditional" for j in range(120))
+        )
+    py_calib = round(time.time() - t0, 3)
+
     reg = probes.registry()
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -124,6 +147,10 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
+                "calibration": {
+                    "jvm_hash_30m_sec": jvm_calib,
+                    "py_termfreq_40x_sec": py_calib,
+                },
             }
         )
     )
