@@ -88,3 +88,52 @@ def test_host_hash31_pure_and_bounded(h):
     assert host_hash31(h) == host_hash31(h)
     assert 0 <= host_hash31(h) < (1 << 31)
     assert len(url_md5(h)) == 32
+
+
+# --- htmltext robustness (shared-kernel fuzz: the parser must never
+# crash, and the P3∘P2 composition must keep its structural
+# invariants on ARBITRARY input, not just well-formed fixtures) -----
+
+_markup = st.text(
+    alphabet=st.sampled_from(list("<>&;/=\"' abchilmnoprstuvé世#!-")),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_markup)
+def test_htmltext_kernels_never_crash_and_hold_invariants(s):
+    from cloud_based_web_crawling_indexing_system_spark.functions.htmltext import (
+        extract_links,
+        extract_text_crawl,
+        extract_text_index,
+        extract_text_reference,
+    )
+
+    t_crawl = extract_text_crawl(s)
+    t_index = extract_text_index(s)
+    t_ref = extract_text_reference(s)
+    links = extract_links(s, "http://h.example/a/b.html")
+    # composition definition holds on every input
+    assert t_ref == extract_text_index(t_crawl)
+    # crawl text with '' separator never exceeds the input length
+    # (tags/entities only shrink; entity decode maps &xx; -> 1 char)
+    assert len(t_crawl) <= len(s)
+    # index text separator discipline: single join, no leading/trailing
+    # separator beyond what nodes carry — re-joining its own parse with
+    # ' ' must be stable when no markup remains
+    if "<" not in t_index and "&" not in t_index:
+        assert extract_text_index(t_index) == t_index
+    # every extracted link is defragmented (F4 applied before urljoin)
+    assert all("#" not in l for l in links)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_markup)
+def test_term_freqs_kernel_never_crashes(s):
+    from cloud_based_web_crawling_indexing_system_spark.functions.terms import (
+        term_freqs,
+    )
+
+    for term, freq in term_freqs(s):
+        assert term and freq >= 1
