@@ -97,7 +97,7 @@ def q01(spark, sf_dir):
     """
     SELECT o.o_orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -348,7 +348,12 @@ def q11(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             -- floor(epoch()) per side: DuckDB's epoch() is fractional
+             -- DOUBLE while Spark's unix_timestamp floors to whole
+             -- seconds — the 1800s cut must compare the SAME quantity
+             -- or sub-second gaps in (1800, 1801) split the engines
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
@@ -706,11 +711,7 @@ def q24(spark, sf_dir):
         .withColumn("toks", tokens("text"))
         .select("doc_id", F.explode(shingles("toks", 3)).alias("shingle"))
     )
-    mh = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}|"), F.col("shingle")), "utf-8"))).alias(f"mh{j}")
-        for j in range(_MH_K)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mh)
+    sig = sh.groupBy("doc_id").agg(*minhash_cols("shingle", _MH_K))
     # one pass over sig: explode a literal (band, bucket) struct array
     # instead of a 4-way union that would re-plan the shingle->minhash
     # aggregation subtree per band (the self-join below then reuses ONE
@@ -836,19 +837,12 @@ _COS = _cos_sql("q.embedding", "e.embedding")
 
 
 def _cosine_expr(a: str, b: str):
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    na = F.expr(
-        f"aggregate(zip_with({a}, {a}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nb = F.expr(
-        f"aggregate(zip_with({b}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    """THE shared fold (functions/simsearch.cosine_expr) — q27/q28
+    must use the same sequential dot-product as q33/q34/q35 so the
+    IEEE op sequence can never diverge between probe families."""
+    from ..functions.simsearch import cosine_expr
+
+    return cosine_expr(a, b)
 
 
 @probe(
@@ -916,6 +910,9 @@ def q28(spark, sf_dir):
 # =====================================================================
 
 _STOPWORDS = ("the", "a")
+# ONE source for the q29 stopword set: the SQL oracle and the Spark
+# builder both interpolate this literal list
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
 def _srp_bucket_sql(n_planes: int, dim: int, offset: int = 0, n_total: int | None = None) -> str:
@@ -1088,18 +1085,18 @@ def q35(spark, sf_dir):
     {_TOKS_CTE}
     SELECT doc_id, len(t) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
-           ROUND(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+           CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stopwords,
+           ROUND(CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
                  / len(t), 6) AS stopword_ratio,
            CASE WHEN len(t) >= 40 AND
-                     CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.12
+                     CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(t) < 0.12
                 THEN 'high' ELSE 'low' END AS quality
     FROM toks JOIN documents USING (doc_id)
     """,
 )
 def q29(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    n_stop = F.expr("size(filter(t, x -> x IN ('the', 'a')))")
+    n_stop = F.expr(f"size(filter(t, x -> x IN ({_SW_SQL})))")
     ratio = n_stop.cast("double") / F.size("t")
     return d.select(
         "doc_id",

@@ -92,7 +92,7 @@ def _para(rng: Random, lang: str, n: int) -> str:
     return " ".join(rng.choice(words) for _ in range(n))
 
 
-def _page_html(rng: Random, host: str, path: str, lang: str, hrefs: list[str],
+def _page_html(rng: Random, lang: str, hrefs: list[str],
                para_words: tuple[int, int] = (8, 40), n_paras: tuple[int, int] = (1, 4)) -> str:
     title = _para(rng, "en", 3)
     body_paras = [
@@ -169,9 +169,6 @@ def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
                 paths.append(f"/page{j:05d}.html")
         host_paths[h] = paths
 
-    all_urls = [f"http://{h}{p}" for h in hosts for p in host_paths[h]]
-    url_set = set(all_urls)
-
     # build pages
     rows = []
     for hi, h in enumerate(hosts):
@@ -211,7 +208,7 @@ def gen_corpus(scale: str = "tiny", seed: int = 42, n_hosts: int | None = None,
                 hrefs.append(f"/missing{rng.randint(0, 9999):05d}.html")
             if rng.random() < 0.3 and hrefs:
                 hrefs.append(hrefs[rng.randrange(len(hrefs))])  # duplicate
-            html = _page_html(rng, h, path, lang, hrefs)
+            html = _page_html(rng, lang, hrefs)
             url = f"http://{h}{path}"
             rows.append(
                 {

@@ -169,7 +169,7 @@ def write_corpus_spark(
                     hrefs.append("mailto:admin@example.org")
                 if rng.random() < p_dangling:
                     hrefs.append(f"/missing{rng.randint(0, 99999):06d}.html")
-                html = _page_html(rng, h, path, lang, hrefs,
+                html = _page_html(rng, lang, hrefs,
                                   para_words=para_words, n_paras=n_paras)
                 urls.append(f"http://{h}{path}")
                 tss.append(_EPOCH + timedelta(seconds=hi * 86400 + pi * 7))

@@ -27,6 +27,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
+         # UTC pin: session.py and submit.sh both set it; without it a
+         # non-UTC machine shifts date_trunc/hour_epoch vs the DuckDB
+         # oracle and this sim reports FALSE mismatches
+         .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 con = duckdb.connect()
@@ -44,7 +48,10 @@ def canon_hash(pdf):
         tuple((type(v).__name__, repr(v)) for v in row)
         for row in pdf.itertuples(index=False, name=None)
     )
-    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    # column NAMES are part of the hash: the driver's compare (and the
+    # pytest mirror, test_probes_duckdb.py) rejects alias mismatches
+    # even when the value matrices agree
+    h = hashlib.sha256(repr((sorted(pdf.columns), rows)).encode()).hexdigest()[:16]
     dtypes = {c: str(pdf[c].dtype) for c in pdf.columns}
     return h, dtypes, len(pdf)
 
@@ -65,6 +72,11 @@ for name in NAMES:
     print(f"{name}: rows {ns}/{nd} hash_match={match}{detail}")
 
 e = ep.entry(spark)
-print("entry rows:", e.count(), "schema:", e.schema.simpleString())
+n_entry = e.count()
+print("entry rows:", n_entry, "schema:", e.schema.simpleString())
+if n_entry <= 0:
+    # the driver smoke-gates entry() on rows > 0 — mirror that
+    print("entry produced no rows")
+    ok = False
 print("ALL_MATCH" if ok else "MISMATCH")
 sys.exit(0 if ok else 1)
