@@ -38,6 +38,7 @@ import uuid
 
 import os
 import time
+from collections.abc import Iterator  # noqa: F401 — return annotation
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -166,28 +167,30 @@ class CrawlService:
 
     def search(
         self, query: str, limit: int | None = 50, unbounded: bool = False
-    ) -> list[dict]:
-        """Returns ``[{"pageUrl", "frequency"}]`` ranked (O1); empty
-        list before anything is indexed (the reference returns [] for
+    ) -> list[dict] | Iterator[dict]:
+        """Returns ranked ``{"pageUrl", "frequency"}`` results (O1);
+        empty before anything is indexed (the reference returns [] for
         an empty index, master.py:213).
 
         Bounded by default: the reference SQL has no LIMIT
         (master.py:209) but its UI shows one page of results — an
         unbounded collect of a broad OR query at 10^10-URL scale would
-        OOM the driver.  ``limit=50`` keeps the plan a TakeOrdered
-        (top-k, no global sort materialized); pass ``unbounded=True``
-        for the faithful full result set, streamed through
-        ``toLocalIterator`` so at most one partition is resident
-        driver-side at a time.  ``limit=None`` means the full result
-        set and therefore ALSO streams (never a full collect)."""
+        OOM the driver.  ``limit=50`` returns a ``list`` and keeps the
+        plan a TakeOrdered (top-k, no global sort materialized).
+        ``unbounded=True`` (or ``limit=None``) is the faithful full
+        result set and returns a GENERATOR backed by
+        ``toLocalIterator`` — at most one partition resident in the
+        JVM collect buffer and one row resident in Python at a time,
+        so driver memory stays bounded end-to-end (advisor r3: the old
+        list materialization made the claim JVM-side only)."""
         if self.run.postings_df() is None:
             return []
         if unbounded or limit is None:
             df = self.run.search(query, limit=None)
-            return [
+            return (
                 {"pageUrl": r["url"], "frequency": r["frequency"]}
                 for r in df.toLocalIterator()
-            ]
+            )
         df = self.run.search(query, limit=limit)
         return [
             {"pageUrl": r["url"], "frequency": r["frequency"]} for r in df.collect()
@@ -252,19 +255,21 @@ class CrawlService:
         m = self.run.metrics_df()
         if m is None:
             return {}
+        # compute the latest parse round IN Spark and filter before the
+        # collect (advisor r3): the lineage history is O(rounds x
+        # partitions) and only the last round's rows are the liveness
+        # map — never ship the whole history to the driver
+        parse = m.where(F.col("stage") == "parse")
+        last_parse_round = parse.agg(F.max("round")).head()[0]
+        if last_parse_round is None:
+            return {}
         rows = (
-            m.where(F.col("stage") == "parse")
-            .orderBy(F.desc("round"), F.asc("partition_id"))
+            parse.where(F.col("round") == last_parse_round)
+            .select("partition_id")
+            .orderBy("partition_id")
             .collect()
         )
-        if not rows:
-            return {}
-        last_parse_round = rows[0]["round"]
-        return {
-            f"partition-{r['partition_id']}": "alive"
-            for r in rows
-            if r["round"] == last_parse_round
-        }
+        return {f"partition-{r['partition_id']}": "alive" for r in rows}
 
     # -- GET /suggest (master.py:72-90, offline equivalent) --------------------
 

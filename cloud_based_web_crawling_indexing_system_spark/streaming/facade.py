@@ -150,13 +150,25 @@ def live_metrics_stream(
     not re-read.  ``ignoreMissingFiles``: a replay DELETES the round
     file before rewriting it (lake.py replace-write) — a micro-batch
     that listed the old file must skip it, not kill the query."""
-    schema = "round int, partition_id int, stage string, key string, value long"
+    # full on-disk metrics schema incl. job_id (crawl._METRICS_SCHEMA;
+    # advisor r3: the stream must not silently prune columns the sink
+    # gained).  Parquet files written before the job_id column read as
+    # null under this schema -> coalesced to '' like _write_metrics
+    # writes for non-job rows.
+    schema = (
+        "round int, partition_id int, stage string, key string, value long, "
+        "job_id string"
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("ignoreMissingFiles", "true")
         .parquet(metrics_data_dir)
+        .withColumn("job_id", F.coalesce(F.col("job_id"), F.lit("")))
     )
-    agg = stream.groupBy("stage", "key").agg(
+    # stage='job' rows keep their job attribution as a grouping key
+    # (job_id = '' for round/parse rows), so per-job running totals
+    # stay separable instead of folding into the stage/key totals
+    agg = stream.groupBy("stage", "key", "job_id").agg(
         F.sum("value").alias("total"), F.count("*").alias("n_rows")
     )
     return (

@@ -75,13 +75,15 @@ def test_full_lifecycle(spark, tiny_corpus):
     plan = svc.run.search("data or engine", limit=50)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrdered" in plan
-    # unbounded=True streams the faithful full result set
+    # unbounded=True streams the faithful full result set as a
+    # GENERATOR (driver memory bounded end-to-end — never a list)
     full = svc.search("data or engine", unbounded=True)
+    assert not isinstance(full, list)
     exp_full = [
         {"pageUrl": u, "frequency": f}
         for u, f in search_oracle(oracle.postings, "data or engine")
     ]
-    assert full == exp_full
+    assert list(full) == exp_full
 
     # GET /jobs/<job_id>: per-job counters match the oracle jobs table,
     # keyed by seed url (the facade mints its own uuids per seed)

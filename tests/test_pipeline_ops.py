@@ -275,13 +275,27 @@ def test_streaming_page_ingest_and_metrics(spark, tiny_corpus, tmp_path):
     n_src = spark.read.parquet(tiny_corpus["pages"]).count()
     assert spark.read.parquet(sink).count() == n_src  # unique urls pass through
 
-    # metrics monitor stream over a fake metrics table dir
+    # metrics monitor stream over a fake metrics table dir, mixing an
+    # OLD-layout 5-column file (pre-job_id: must read as job_id='')
+    # with a current 6-column file carrying stage='job' rows
     mdir = str(tmp_path / "metrics_data")
     spark.createDataFrame(
         [(0, -1, "round", "n_fetched", 10), (1, -1, "round", "n_fetched", 20)],
         "round int, partition_id int, stage string, key string, value long",
     ).write.parquet(mdir)
+    spark.createDataFrame(
+        [(2, -1, "round", "n_fetched", 5, ""),
+         (2, -1, "job", "n_fetched", 3, "job-a"),
+         (2, -1, "job", "n_fetched", 2, "job-b")],
+        "round int, partition_id int, stage string, key string, value long, "
+        "job_id string",
+    ).write.mode("append").parquet(mdir)
     mq = live_metrics_stream(spark, mdir, query_name="mon_test")
     mq.awaitTermination(120)
-    out = {(r["stage"], r["key"]): r["total"] for r in spark.sql("SELECT * FROM mon_test").collect()}
-    assert out[("round", "n_fetched")] == 30
+    out = {
+        (r["stage"], r["key"], r["job_id"]): r["total"]
+        for r in spark.sql("SELECT * FROM mon_test").collect()
+    }
+    assert out[("round", "n_fetched", "")] == 35
+    assert out[("job", "n_fetched", "job-a")] == 3
+    assert out[("job", "n_fetched", "job-b")] == 2
