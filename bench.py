@@ -44,6 +44,7 @@ HEADLINE = [
     "q36_lang_id_confusion",
     "q37_ngram_jaccard_capped",
     "q38_knn_vectorized_topk",
+    "q41_image_decode_roundtrip",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -112,6 +113,9 @@ def main() -> None:
         term_freqs,
     )
 
+    # warm the anchor workload itself (JIT + codegen) so the pre/post
+    # anchors time the SAME steady-state kernel and are comparable
+    spark.range(30_000_000).selectExpr("sum(xxhash64(id) % 1000000)").collect()
     t0 = time.time()
     # % bounds the terms so the ANSI-mode sum cannot overflow long
     spark.range(30_000_000).selectExpr("sum(xxhash64(id) % 1000000)").collect()
@@ -125,17 +129,39 @@ def main() -> None:
         )
     py_calib = round(time.time() - t0, 3)
 
+    # Repeat protocol (judge r3 #2): a single-shot wall conflates
+    # one-time plan/codegen compile (2-4x the steady state) and this
+    # VM's ~4x ambient speed swings with actual execution cost.  Each
+    # query runs REPEATS times; "queries" carries the min-of-N
+    # (steady-state, the round-over-round comparable number) and
+    # "queries_first" the first-call wall (compile included).  Compare
+    # rounds on min-walls normalized by the calibration anchors.
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     reg = probes.registry()
     times: dict[str, float] = {}
+    first_times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = reg[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            reg[name](spark, sf_dir).count()
+            walls.append(round(time.time() - t0, 3))
+        first_times[name] = walls[0]
+        times[name] = min(walls)
+        all_runs[name] = walls
+
+    # second anchor AFTER the query block: a big first-vs-second anchor
+    # gap flags a mid-run contention spike (PROFILE_r03.md measured the
+    # same workload at 0.89s and 1.285s minutes apart)
+    t0 = time.time()
+    spark.range(30_000_000).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+    jvm_calib_post = round(time.time() - t0, 3)
 
     ensure_corpus(BENCH_CORPUS, n_hosts=80, n_pages=8000)
     crawl = bench_crawl(spark, BENCH_CORPUS, os.path.join(REPO, ".cache", "bench_crawl_run"))
     times["crawl_e2e"] = round(crawl["sec"], 3)
+    first_times["crawl_e2e"] = times["crawl_e2e"]  # one run: warmed, see bench_crawl
 
     total = round(sum(times.values()), 3)
     print(
@@ -145,10 +171,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_first": first_times,
+                "runs": all_runs,
+                "protocol": {
+                    "repeats": REPEATS,
+                    "queries_sec": "min-of-repeats (steady-state)",
+                    "queries_first_sec": "first call (plan+codegen compile included)",
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
                 "calibration": {
                     "jvm_hash_30m_sec": jvm_calib,
+                    "jvm_hash_30m_sec_post": jvm_calib_post,
                     "py_termfreq_40x_sec": py_calib,
                 },
             }
