@@ -45,6 +45,7 @@ HEADLINE = [
     "q37_ngram_jaccard_capped",
     "q38_knn_vectorized_topk",
     "q41_image_decode_roundtrip",
+    "q42_bpe_token_count",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

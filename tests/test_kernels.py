@@ -283,3 +283,66 @@ def test_png_filters_all_decodable():
 
     for ftype in range(5):
         assert decode_png_pixels(refilter(ftype)) == (w, h, ch, px), f"filter {ftype}"
+
+
+# ---------------------------------------------------------------------
+# fixed-merge BPE (functions/quality.py, judge r3 #7)
+# ---------------------------------------------------------------------
+
+def _bpe_chain_pieces(word: str) -> int:
+    """Python simulation of bpe_chain_sql: same single-pass global
+    left-to-right replace semantics str.replace / SQL replace share."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        BPE_MERGES,
+    )
+
+    s = "".join(f"({c})" for c in word)
+    for a, b in BPE_MERGES:
+        s = s.replace(f"({a})({b})", f"({a}{b})")
+    return s.count("(")
+
+
+def test_bpe_merges_table_well_formed():
+    """The rank-order-sweep == greedy-loop equivalence REQUIRES every
+    compound operand to be the output of a strictly earlier merge —
+    pin that invariant so table edits can't silently break q42."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        BPE_MERGES,
+    )
+
+    produced: set[str] = set()
+    for a, b in BPE_MERGES:
+        for op in (a, b):
+            assert len(op) == 1 or op in produced, f"operand {op!r} not yet produced"
+        produced.add(a + b)
+    assert len({a + b for a, b in BPE_MERGES}) == len(BPE_MERGES)  # no dup outputs
+
+
+def test_bpe_chain_equals_greedy_reference():
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        bpe_encode,
+    )
+
+    for w, want in [
+        ("the", ["the"]),
+        ("standing", ["st", "and", "ing"]),
+        ("thththe", ["th", "th", "the"]),
+        ("aaaa", ["a", "a", "a", "a"]),  # no (a,a) merge in the table
+        ("", []),
+    ]:
+        assert bpe_encode(w) == want
+        assert _bpe_chain_pieces(w) == len(want)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="theinrgandosclumpbxq", min_size=0, max_size=24))
+def test_bpe_chain_equals_greedy_fuzz(word):
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        bpe_encode,
+    )
+
+    assert _bpe_chain_pieces(word) == len(bpe_encode(word))
