@@ -43,10 +43,19 @@ the same stdlib ``html.parser.HTMLParser`` bs4 wraps:
 - ``get_text(sep)`` = ``sep.join`` over text nodes in document order.
 - valueless attributes become ``''`` (bs4 HTMLParserTreeBuilder),
   duplicate attributes: last occurrence wins.
-- ``<template>`` contents (TemplateString in bs4 >= 4.9) are NOT
-  modeled — stdlib parses them as normal markup; template tags do not
-  occur in the fixture corpora and are vanishingly rare in the
-  reference's university-site use case.
+- ``<template>`` contents: bs4 >= 4.9 stores every text node inside a
+  template subtree as ``TemplateString`` (the ``string_containers``
+  map keys off the nearest open container tag on bs4's
+  ``string_container_stack``, so nesting below the template does not
+  escape it), and ``get_text()``'s exact-type ``NavigableString``
+  check EXCLUDES them — modeled here via an open-tag stack with
+  ``_popToTag`` semantics (pop through the most recent matching open
+  tag; stray end tags are no-ops; void elements never sit on the
+  stack).  Anchors inside templates ARE still collected — bs4's
+  ``find_all('a')`` traverses template subtrees.  Known-divergence
+  note (pinned in tests): for pathologically misnested markup bs4's
+  exact pop behavior around tags it reparents is not fully modeled;
+  the fuzz suite pins OUR behavior so any drift is deliberate.
 
 The same functions run inside the engine's Arrow UDFs
 (functions/udfs.py) and inside the single-threaded oracle
@@ -71,6 +80,15 @@ __all__ = [
 # text-node kinds
 _DATA = 0  # regular text node (entities decoded)
 _CDATA = 1  # raw text inside <script>/<style>
+_TEMPLATE = 2  # text inside a <template> subtree (TemplateString, bs4 >= 4.9)
+
+# bs4 HTMLTreeBuilder.empty_element_tags: pushed then immediately
+# popped, so they never sit on the open-tag stack
+_VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input keygen link menuitem meta param "
+    "source track wbr basefont bgsound command frame image isindex nextid "
+    "spacer".split()
+)
 
 
 class _SoupEvents(HTMLParser):
@@ -81,6 +99,13 @@ class _SoupEvents(HTMLParser):
         self.texts: list[tuple[int, str]] = []  # (kind, data) in doc order
         self.anchors: list[dict[str, str]] = []  # attr dicts of <a> tags
         self._cdata_depth = 0  # inside <script>/<style>
+        # open non-void tags, modeling bs4's tagStack/_popToTag just
+        # far enough to know whether a <template> is open: bs4's
+        # string_container_stack keys the container class off the
+        # nearest open string-container tag, so EVERY text node inside
+        # a template subtree (any nesting) becomes TemplateString
+        self._open: list[str] = []
+        self._n_template = 0  # count of 'template' entries in _open
         self._buf: list[str] = []  # bs4's current_data coalesce buffer
         self._buf_kind = _DATA
 
@@ -106,11 +131,25 @@ class _SoupEvents(HTMLParser):
             self._cdata_depth += 1
         if tag == "a":
             self.anchors.append(self._attr_dict(attrs))
+        if tag not in _VOID_ELEMENTS:
+            self._open.append(tag)
+            if tag == "template":
+                self._n_template += 1
 
     def handle_endtag(self, tag: str) -> None:
         self._flush()
         if tag in ("script", "style") and self._cdata_depth:
             self._cdata_depth -= 1
+        # bs4 _popToTag: pop up to AND INCLUDING the most recent open
+        # tag with this name; no open tag with the name -> nothing
+        # popped (stray end tags are no-ops)
+        if tag not in _VOID_ELEMENTS and tag in self._open:
+            while self._open:
+                t = self._open.pop()
+                if t == "template":
+                    self._n_template -= 1
+                if t == tag:
+                    break
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <a href=x/> still carries the attribute; script/style
@@ -123,8 +162,13 @@ class _SoupEvents(HTMLParser):
     def handle_data(self, data: str) -> None:
         if data:
             # kind is stable within a run: tags flush the buffer and
-            # only tags can toggle the cdata state
-            self._buf_kind = _CDATA if self._cdata_depth else _DATA
+            # only tags can toggle the cdata/template state
+            if self._cdata_depth:
+                self._buf_kind = _CDATA
+            elif self._n_template:
+                self._buf_kind = _TEMPLATE
+            else:
+                self._buf_kind = _DATA
             self._buf.append(data)
 
     # comments / doctype / PIs are not NavigableStrings, but they DO

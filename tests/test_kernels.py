@@ -346,3 +346,36 @@ def test_bpe_chain_equals_greedy_fuzz(word):
     )
 
     assert _bpe_chain_pieces(word) == len(bpe_encode(word))
+
+
+def test_template_contents_excluded_like_bs4():
+    """bs4 >= 4.9 stores text anywhere inside a <template> subtree as
+    TemplateString, which get_text()'s exact-type check excludes —
+    same for crawl-side and index-side text.  Anchors inside templates
+    are still collected (find_all traverses the subtree).  Misnesting
+    follows _popToTag: an ancestor's end tag pops the open template;
+    stray end tags are no-ops (pinned behavior, see htmltext
+    docstring's known-divergence note)."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.htmltext import (
+        extract_links,
+        extract_text_crawl,
+        extract_text_index,
+    )
+
+    cases = [
+        ("<p>a</p><template>hidden</template><p>b</p>", "ab"),
+        ("<template><div>deep</div><b>bold</b></template>tail", "tail"),
+        ("<template><template>in</template>mid</template>out", "out"),
+        ("<template>unclosed to eof", ""),
+        ("</template>stray<p>ok</p>", "strayok"),
+        ("<div><template>x</div>y", "y"),  # ancestor end tag pops the template
+        ("<template><script>var x;</script>t</template>z", "z"),
+        ("<br><template>v</template><img>w", "w"),  # void tags skip the stack
+        ("a<template/>b", "ab"),  # self-closing: no net state
+    ]
+    for html, want in cases:
+        assert extract_text_crawl(html) == want, html
+    assert extract_text_index("<template>x</template>a b") == "a b"
+    assert extract_links(
+        '<template><a href="/t.html">t</a></template>', "http://h/"
+    ) == ["http://h/t.html"]
