@@ -800,6 +800,13 @@ class CrawlRun:
                     max(1, self._seen_total() // 1_000_000 + 1)
                 )
 
+        # NOTE on the concurrent commits + the shared `parsed` cache:
+        # an accumulator-instrumented A/B (scripts/wide_pair_probe.py)
+        # measured parse-UDF rows executed == rows fetched exactly, so
+        # the concurrent first waves do NOT duplicate the cached parse
+        # work (the BlockManager's per-block compute locks serialize
+        # get-or-compute); a pre-pool noop materialization barrier was
+        # tried and only ADDED wall time.
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(self.postings.write_round, r, postings_delta),
