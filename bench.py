@@ -46,6 +46,7 @@ HEADLINE = [
     "q38_knn_vectorized_topk",
     "q41_image_decode_roundtrip",
     "q42_bpe_token_count",
+    "q43_audio_decode_roundtrip",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -11,12 +11,16 @@ byte-exact roundtrips.  Tiny real images for fixtures come from the
 matching pure-stdlib ENCODERS (PNG with zlib/CRC chunks, 24-bit BMP,
 binary PGM/PPM).
 
-Still stubbed — clearly marked — is everything that genuinely needs a
-codec library absent from this container: video FRAME extraction
-(``frame_sample`` hashes fixed-size byte slices as stand-in frames)
-and audio decode.  The Spark-side plumbing (schemas, Arrow batch
+Audio is real too for PCM WAV: a RIFF chunk-walking header decoder
+(``decode_wav`` -> channels / sample rate / bit depth / frame count)
+with a matching encoder, wired through ``decode_audio_meta``.
+
+Still stubbed — clearly marked — is the one thing that genuinely
+needs a codec library absent from this container: video FRAME
+extraction (``frame_sample`` hashes fixed-size byte slices as
+stand-in frames).  The Spark-side plumbing (schemas, Arrow batch
 iteration, partitioning) is identical either way; in production only
-the stub bodies change.
+the stub body changes.
 """
 
 from __future__ import annotations
@@ -38,7 +42,10 @@ __all__ = [
     "encode_png",
     "encode_bmp",
     "encode_pnm",
+    "decode_wav",
+    "encode_wav",
     "decode_image_meta",
+    "decode_audio_meta",
     "frame_sample",
     "attach_blob",
 ]
@@ -182,6 +189,56 @@ def decode_image(blob: bytes | None) -> tuple[str, int, int, int] | None:
         if got is not None:
             return got
     return None
+
+
+def decode_wav(blob: bytes | None) -> tuple[int, int, int, int] | None:
+    """Real RIFF/WAVE header decode (stdlib struct only): returns
+    ``(n_channels, sample_rate, bits_per_sample, n_samples)`` or
+    ``None`` when the bytes are not a PCM WAV.  Walks the chunk list
+    like a real reader — fmt/data need not be the first chunks."""
+    if not blob:
+        return None
+    b = bytes(blob)
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    n_ch = rate = bits = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, n_ch, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not n_ch or not rate or not bits or data_len is None:
+        return None
+    n_samples = data_len // (n_ch * (bits // 8)) if bits >= 8 else 0
+    return n_ch, rate, bits, n_samples
+
+
+def encode_wav(n_channels: int, sample_rate: int, samples: bytes,
+               bits: int = 16) -> bytes:
+    """Real PCM WAV encoder: RIFF header + fmt + data chunks.
+    ``samples`` is raw little-endian PCM, n_samples*n_channels*bits/8
+    bytes."""
+    block = n_channels * bits // 8
+    if len(samples) % block:
+        raise ValueError("sample buffer not a whole number of frames")
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, bits)
+    data = samples + (b"\x00" if len(samples) & 1 else b"")
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(samples)) + (len(data) - len(samples))
+    return (
+        b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + data
+    )
 
 
 def _paeth(a: int, bb: int, c: int) -> int:
@@ -377,6 +434,50 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=_DECODED_SCHEMA)
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha string, "
+    "n_channels int, sample_rate int, bits int, n_samples long"
+)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas audio decode stage: PCM WAV headers decoded for
+    real (``decode_wav``); non-WAV payloads surface NULL metadata."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                                     ("n_bytes", "sha", "ch", "rate", "bits", "ns")}
+            for b in pdf["blob"]:
+                raw = bytes(b) if b is not None else b""
+                cols["n_bytes"].append(len(raw))
+                cols["sha"].append(hashlib.sha256(raw).hexdigest() if raw else None)
+                got = decode_wav(raw)
+                if got is None:
+                    for k in ("ch", "rate", "bits", "ns"):
+                        cols[k].append(None)
+                else:
+                    ch, rate, bits, ns = got
+                    cols["ch"].append(ch)
+                    cols["rate"].append(rate)
+                    cols["bits"].append(bits)
+                    cols["ns"].append(ns)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.array(cols["n_bytes"], dtype="Int64"),
+                    "sha": cols["sha"],
+                    "n_channels": pd.array(cols["ch"], dtype="Int32"),
+                    "sample_rate": pd.array(cols["rate"], dtype="Int32"),
+                    "bits": pd.array(cols["bits"], dtype="Int32"),
+                    "n_samples": pd.array(cols["ns"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=_AUDIO_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

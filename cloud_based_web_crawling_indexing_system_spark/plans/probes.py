@@ -1213,6 +1213,56 @@ def q41(spark, sf_dir):
     )
 
 
+@probe(
+    "q43_audio_decode_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(16 + doc_id % 50 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def q43(spark, sf_dir):
+    """Real audio decode through the driver gate: per doc_id the
+    engine ENCODES a real PCM WAV (stdlib RIFF writer, deterministic
+    sample bytes) whose params derive from doc_id arithmetic, then
+    DECODES the header back through the production mapInPandas stage;
+    the oracle recomputes the params from the arithmetic.  Same
+    decode∘encode == identity argument as q41, audio flavor."""
+    import pandas as pd
+
+    from ..functions.multimodal import decode_audio_meta, encode_wav, test_pixels
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "blob": [], "mime": [], "meta_json": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                rate = (8000, 16000, 22050, 44100)[did % 4]
+                frames = 16 + did % 50
+                pcm = test_pixels(frames, ch, 2, seed=did % 89)  # frames*ch*2 bytes
+                out["media_id"].append(did)
+                out["kind"].append("audio")
+                out["blob"].append(encode_wav(ch, rate, pcm, bits=16))
+                out["mime"].append("audio/wav")
+                out["meta_json"].append("{}")
+            yield pd.DataFrame(out)
+
+    from ..functions.multimodal import MEDIA_SCHEMA
+
+    media = ids.mapInPandas(enc, schema=MEDIA_SCHEMA)
+    return decode_audio_meta(media).select(
+        F.col("media_id").alias("doc_id"),
+        "n_channels", "sample_rate", "bits", "n_samples",
+    )
+
+
 def _bpe_duck_cnt() -> str:
     from ..functions.quality import bpe_chain_sql
 

@@ -24,7 +24,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = os.path.join(REPO, ".cache", "scaling_corpus")
+CORPUS = os.environ.get(
+    "SCALING_CORPUS_DIR", os.path.join(REPO, ".cache", "scaling_corpus")
+)
 N_HOSTS = int(os.environ.get("SCALING_HOSTS", "400"))
 N_PAGES = int(os.environ.get("SCALING_PAGES", "240000"))
 
@@ -260,7 +262,7 @@ def orchestrate(scenarios: list[str] | None = None) -> None:
     # pair math — the ambient slowdown is never attributed to the
     # engine; every raw run still lands in the jsonl.
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
-    results: dict[tuple[str, int], dict] = {}
+    by_rep: dict[tuple[int, str, int], dict] = {}
     for rep in range(repeats):
         for scenario in scenarios:
             for cpus in cpu_levels:
@@ -276,22 +278,36 @@ def orchestrate(scenarios: list[str] | None = None) -> None:
                 _append_evidence({"kind": "run", "commit": head, "ts": ts,
                                   "rep": rep, **got})
                 print(json.dumps(got), file=sys.stderr)
-                best = results.get((scenario, cpus))
-                if best is None or got["urls_per_sec"] > best["urls_per_sec"]:
-                    results[(scenario, cpus)] = got
+                by_rep[(rep, scenario, cpus)] = got
     pairs = []
+    best_runs: dict[tuple[str, int], dict] = {}
     for lo, hi in PAIRS:
         synth = machine_ceiling(lo, hi)
         matched = matched_ceiling(lo, hi)
         for scenario in scenarios:
-            rlo, rhi = results[(scenario, lo)], results[(scenario, hi)]
-            eff = (rhi["urls_per_sec"] / rlo["urls_per_sec"]) / (hi / lo)
+            # efficiency is a RATIO of same-window runs: compute it
+            # WITHIN each repeat (lo and hi ran back-to-back) and
+            # report the best repeat — mixing a lucky lo from one rep
+            # with a hi from another would attribute VM drift to the
+            # engine in either direction
+            per_rep = []
+            for rep in range(repeats):
+                rlo = by_rep[(rep, scenario, lo)]
+                rhi = by_rep[(rep, scenario, hi)]
+                per_rep.append(
+                    round((rhi["urls_per_sec"] / rlo["urls_per_sec"]) / (hi / lo), 3)
+                )
+            eff = max(per_rep)
+            rep_best = per_rep.index(eff)
+            best_runs[(scenario, lo)] = by_rep[(rep_best, scenario, lo)]
+            best_runs[(scenario, hi)] = by_rep[(rep_best, scenario, hi)]
             ceiling = matched["ceiling"]
             pairs.append(
                 {
                     "pair": f"local[{lo}] -> local[{hi}]",
                     "scenario": scenario,
-                    "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency": eff,
+                    "per_rep_efficiency": per_rep,
                     "machine_ceiling_synthetic": round(synth, 3),
                     "machine_ceiling_matched": ceiling,
                     "matched_pages_per_sec": matched["pages_per_sec"],
@@ -301,7 +317,7 @@ def orchestrate(scenarios: list[str] | None = None) -> None:
             )
     report = {
         "corpus": {"n_hosts": N_HOSTS, "n_pages": N_PAGES},
-        "runs": {f"{s}[{c}]": results[(s, c)] for (s, c) in results},
+        "runs": {f"{s}[{c}]": best_runs[(s, c)] for (s, c) in best_runs},
         "pairs": pairs,
         "target": 0.8,
     }
@@ -320,7 +336,8 @@ def _write_md(rep: dict, head: str = "unknown", ts: str = "") -> None:
                         key=lambda r: (r["scenario"], int(r["cpus"])))
     )
     pair_rows = "\n".join(
-        f"| {p['pair']} | {p['scenario']} | {p['scaling_efficiency']} | "
+        f"| {p['pair']} | {p['scenario']} | {p['scaling_efficiency']} "
+        f"(reps: {', '.join(str(x) for x in p.get('per_rep_efficiency', []))}) | "
         f"{p['machine_ceiling_matched']} | {p['machine_ceiling_synthetic']} | "
         f"{p['fraction_of_ceiling']} | {'PASS' if p['pass'] else 'see note'} |"
         for p in rep["pairs"]
@@ -383,14 +400,74 @@ Reproduce: `python scripts/scaling_bench.py`
         f.write(md)
 
 
+def recompute(ts: str) -> None:
+    """Rebuild pairs + BASELINE.md from the jsonl run rows of a prior
+    orchestrate invocation (matched by its ts), applying the per-rep
+    pair math; ceilings are re-measured fresh and stamped with a new
+    ts.  Used when the pair MATH changes — the runs themselves are
+    reused verbatim from the committed log."""
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl")) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    runs = [r for r in rows if r.get("kind") == "run" and r.get("ts") == ts
+            and "rep" in r and "scenario" in r]
+    if not runs:
+        raise SystemExit(f"no run rows with ts={ts}")
+    by_rep = {(r["rep"], r["scenario"], r["cpus"]): r for r in runs}
+    scenarios = sorted({r["scenario"] for r in runs})
+    reps = sorted({r["rep"] for r in runs})
+    head = _git_head()
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    ensure_corpus()
+    pairs = []
+    best_runs = {}
+    for lo, hi in PAIRS:
+        synth = machine_ceiling(lo, hi)
+        matched = matched_ceiling(lo, hi)
+        for scenario in scenarios:
+            per_rep = [
+                round((by_rep[(rep, scenario, hi)]["urls_per_sec"]
+                       / by_rep[(rep, scenario, lo)]["urls_per_sec"]) / (hi / lo), 3)
+                for rep in reps
+            ]
+            eff = max(per_rep)
+            rep_best = per_rep.index(eff)
+            best_runs[(scenario, lo)] = by_rep[(reps[rep_best], scenario, lo)]
+            best_runs[(scenario, hi)] = by_rep[(reps[rep_best], scenario, hi)]
+            pairs.append({
+                "pair": f"local[{lo}] -> local[{hi}]",
+                "scenario": scenario,
+                "scaling_efficiency": eff,
+                "per_rep_efficiency": per_rep,
+                "machine_ceiling_synthetic": round(synth, 3),
+                "machine_ceiling_matched": matched["ceiling"],
+                "matched_pages_per_sec": matched["pages_per_sec"],
+                "fraction_of_ceiling": round(eff / matched["ceiling"], 3),
+                "pass": eff >= 0.8,
+            })
+    report = {
+        "corpus": {"n_hosts": N_HOSTS, "n_pages": N_PAGES},
+        "runs": {f"{s}[{c}]": best_runs[(s, c)] for (s, c) in best_runs},
+        "pairs": pairs,
+        "target": 0.8,
+    }
+    for p in pairs:
+        _append_evidence({"kind": "pair", "commit": head, "ts": now,
+                          "recomputed_from_ts": ts, **p})
+    print(json.dumps(report))
+    _write_md(report, head, f"runs {ts}, pairs recomputed {now}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--scenario", choices=sorted(SCENARIOS), default="open")
     ap.add_argument("--scenarios", help="comma list for orchestrate (default: all)")
+    ap.add_argument("--recompute", help="ts of a prior orchestrate to re-pair")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
     if args.cpus:
         print(json.dumps(run_one(args.cpus, args.scenario)))
+    elif args.recompute:
+        recompute(args.recompute)
     else:
         orchestrate(args.scenarios.split(",") if args.scenarios else None)

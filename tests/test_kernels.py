@@ -379,3 +379,40 @@ def test_template_contents_excluded_like_bs4():
     assert extract_links(
         '<template><a href="/t.html">t</a></template>', "http://h/"
     ) == ["http://h/t.html"]
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """Real RIFF/WAVE chunk-walking decode: roundtrips the sibling
+    encoder, reads an extra-chunk layout, rejects non-PCM and
+    truncated payloads with None (never fabricated params)."""
+    import struct
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for ch, rate, frames in [(1, 8000, 5), (2, 44100, 33), (1, 22050, 1)]:
+        pcm = bytes((i * 17) % 256 for i in range(frames * ch * 2))
+        blob = encode_wav(ch, rate, pcm, bits=16)
+        assert decode_wav(blob) == (ch, rate, 16, frames)
+
+    # odd-sized data chunk is word-aligned with a pad byte
+    pcm = bytes(6)  # 3 mono 16-bit frames
+    blob = encode_wav(1, 8000, pcm)
+    assert decode_wav(blob) == (1, 8000, 16, 3)
+
+    # a LIST chunk BEFORE fmt/data must be walked over, not choke
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    walked = blob[:12] + lst + blob[12:]
+    # fix the RIFF length for the inserted chunk
+    walked = walked[:4] + struct.pack("<I", len(walked) - 8) + walked[8:]
+    assert decode_wav(walked) == (1, 8000, 16, 3)
+
+    # rejections: non-PCM fmt tag, truncation, garbage, empty
+    nonpcm = bytearray(blob)
+    nonpcm[20] = 3  # IEEE float fmt tag
+    assert decode_wav(bytes(nonpcm)) is None
+    assert decode_wav(blob[:20]) is None
+    assert decode_wav(b"RIFFxxxxAVI ") is None
+    assert decode_wav(b"") is None and decode_wav(None) is None

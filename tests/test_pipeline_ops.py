@@ -337,3 +337,36 @@ def test_streaming_page_ingest_and_metrics(spark, tiny_corpus, tmp_path):
     assert out[("round", "n_fetched", "")] == 35
     assert out[("job", "n_fetched", "job-a")] == 3
     assert out[("job", "n_fetched", "job-b")] == 2
+
+
+def test_audio_decode_meta(spark):
+    """decode_audio_meta recovers exact PCM WAV params; non-WAV blobs
+    surface NULL metadata."""
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_meta,
+        encode_wav,
+    )
+
+    rows, want = [], {}
+    for i in range(8):
+        ch = 1 + i % 2
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        frames = 3 + i
+        pcm = bytes(((i + j) * 31) % 256 for j in range(frames * ch * 2))
+        rows.append((i, "audio", encode_wav(ch, rate, pcm), "audio/wav", "{}"))
+        want[i] = (ch, rate, 16, frames)
+    rows.append((50, "audio", b"not audio at all", "text/plain", "{}"))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    for i, (ch, rate, bits, frames) in want.items():
+        r = got[i]
+        assert (r["n_channels"], r["sample_rate"], r["bits"], r["n_samples"]) == (
+            ch, rate, bits, frames)
+        assert len(r["sha"]) == 64
+    assert got[50]["n_channels"] is None and got[50]["n_samples"] is None
