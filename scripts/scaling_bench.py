@@ -102,7 +102,8 @@ def run_one(cpus: int, scenario: str = "open") -> dict:
     )
     spark.range(100000).repartition(8, "id").count()
 
-    wd = os.path.join(REPO, ".cache", f"scaling_run_{cpus}_{scenario}")
+    tag = os.environ.get("SCALING_RUN_TAG", "")
+    wd = os.path.join(REPO, ".cache", f"scaling_run_{cpus}_{scenario}{tag}")
     if os.path.isdir(wd):
         shutil.rmtree(wd)
     cfg = CrawlConfig(round_budget_s=SCENARIOS[scenario], max_rounds=10)
@@ -374,16 +375,17 @@ counts below and by tests/test_resume_and_invariance.py.
 
 *ceilings = what plain ``multiprocessing`` (no Spark, no shuffle, no
 Arrow) achieves on this VM at the same widths.  The MATCHED ceiling
-runs the engine's actual per-row work — parse_page + tokenize/stem/
-count over real corpus pages — and is the honest bound for the wide
-pair: beyond ~8-16 busy cores this machine's per-core throughput on
-string-heavy work drops (shared memory bandwidth), so no
-implementation of this workload can scale past it.  The synthetic
-ceiling (tiny fixed text through the stem kernel) is kept for
-continuity with earlier rounds.  The primary N-vs-4N evidence is the
-local[2]->local[8] pair, where hardware parallelism is real; the
-local[8]->local[32] pair is reported with its measured ceiling and
-the engine's fraction of it.
+runs the engine's actual parse+stem per-row work over real corpus
+pages; the synthetic ceiling (tiny fixed text through the stem
+kernel) is kept for continuity with earlier rounds.  NOTE (r4): the
+python-only matched ceiling does NOT bind the full engine workload —
+the binding bound for the wide pair is the box's shared memory/disk
+bandwidth, proven topology-independent by the 4-concurrent-JVM
+scale-out experiment (aggregate efficiency 0.42 ~= one local[32]'s
+0.46-0.52; BENCH/PROFILE_r04.md has the full attribution with
+per-row CPU-inflation and 4x-corpus size-independence evidence).
+The primary N-vs-4N evidence is the local[2]->local[8] pair, where
+the hardware is not saturated.
 
 Reference single-node ceiling for comparison: ~20 URLs/s/node
 (20 worker threads x >=1s politeness sleep per fetch,
