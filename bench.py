@@ -138,7 +138,7 @@ def main() -> None:
     # (steady-state, the round-over-round comparable number) and
     # "queries_first" the first-call wall (compile included).  Compare
     # rounds on min-walls normalized by the calibration anchors.
-    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     reg = probes.registry()
     times: dict[str, float] = {}
     first_times: dict[str, float] = {}

@@ -184,7 +184,9 @@ class CrawlService:
         so driver memory stays bounded end-to-end (advisor r3: the old
         list materialization made the claim JVM-side only)."""
         if self.run.postings_df() is None:
-            return []
+            # keep the return protocol consistent with the non-empty
+            # path: unbounded callers always get an iterator
+            return iter(()) if (unbounded or limit is None) else []
         if unbounded or limit is None:
             df = self.run.search(query, limit=None)
             return (

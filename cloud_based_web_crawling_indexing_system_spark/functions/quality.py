@@ -187,11 +187,15 @@ def bpe_chain_sql(var: str, backref: str, flags: str = "") -> str:
 def bpe_piece_count_cols(text_col: str) -> list[Column]:
     """Real training-token estimate: lowercase ``[a-z]+`` words, each
     encoded with the pinned merges; piece count per word = number of
-    '(' symbols left after the chain.  Pure Catalyst expressions —
-    no Python in the hot path."""
+    pieces left after the chain, read as split-on-'('-count so the
+    24-replace chain is evaluated ONCE per word (review r4: the
+    length-minus-replace form evaluated it twice inside the lambda).
+    NULL text coalesces to '' (0 words, 0 pieces) identically in both
+    engines.  Pure Catalyst expressions — no Python in the hot path."""
     chain = bpe_chain_sql("w", "$1")
-    cnt = f"length({chain}) - length(replace({chain}, '(', ''))"
-    words = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    # '(ab)(c)' splits on '(' into ['', 'ab)', 'c)'] -> size-1 pieces
+    cnt = f"size(split({chain}, '[(]')) - 1"
+    words = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z]+', 0)"
     return [
         F.expr(f"size({words})").cast("long").alias("n_words"),
         F.expr(

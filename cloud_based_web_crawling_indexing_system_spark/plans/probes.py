@@ -1267,13 +1267,15 @@ def _bpe_duck_cnt() -> str:
     from ..functions.quality import bpe_chain_sql
 
     chain = bpe_chain_sql("w", "\\1", ", 'g'")  # RE2 backref + global flag
-    return f"length({chain}) - length(replace({chain}, '(', ''))"
+    # single evaluation of the chain, mirroring bpe_piece_count_cols
+    return f"len(string_split({chain}, '(')) - 1"
 
 
 @probe(
     "q42_bpe_token_count",
     f"""
-    WITH wd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+    WITH wd AS (SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS words
                 FROM documents)
     SELECT doc_id,
            CAST(len(words) AS BIGINT) AS n_words,

@@ -172,7 +172,15 @@ def machine_ceiling(lo: int, hi: int) -> float:
 # with plain multiprocessing — no Spark, no shuffle, no Arrow — so it
 # measures what THIS machine permits for THIS workload at each width.
 
-_MATCHED_PAGES: list[tuple[str, str]] = []  # (html, url), fork-inherited
+_MATCHED_PAGES: list[tuple[str, str]] = []  # (html, url), set per-worker
+
+
+def _set_matched_pages(pages: list[tuple[str, str]]) -> None:
+    """Pool initializer: makes the page list start-method independent
+    (fork inherits the global; spawn/forkserver re-import the module
+    with it empty — review r4)."""
+    global _MATCHED_PAGES
+    _MATCHED_PAGES = pages
 
 
 def _matched_work(n: int) -> int:
@@ -218,7 +226,9 @@ def matched_ceiling(lo: int, hi: int, pages_per_proc: int = 250) -> dict:
         ]
     thr = {}
     for procs in (lo, hi):
-        with mp.Pool(procs) as p:  # warm pool + import cost out of the clock
+        with mp.Pool(procs, initializer=_set_matched_pages,
+                     initargs=(_MATCHED_PAGES,)) as p:
+            # warm pool + import cost out of the clock
             p.map(_matched_work, [20] * procs)
             t0 = time.time()
             p.map(_matched_work, [pages_per_proc] * procs)
@@ -281,7 +291,16 @@ def orchestrate(scenarios: list[str] | None = None) -> None:
                 print(json.dumps(got), file=sys.stderr)
                 by_rep[(rep, scenario, cpus)] = got
     pairs = []
+    # the runs table shows the best-throughput run per (scenario,
+    # width) — a per-width summary, NOT the numerator/denominator of
+    # any pair row (those are per-rep ratios, listed per pair); a
+    # width appearing in two pairs would otherwise get silently
+    # overwritten with a different repeat's run (review r4)
     best_runs: dict[tuple[str, int], dict] = {}
+    for (rep, scenario, cpus), got in by_rep.items():
+        cur = best_runs.get((scenario, cpus))
+        if cur is None or got["urls_per_sec"] > cur["urls_per_sec"]:
+            best_runs[(scenario, cpus)] = got
     for lo, hi in PAIRS:
         synth = machine_ceiling(lo, hi)
         matched = matched_ceiling(lo, hi)
@@ -299,9 +318,6 @@ def orchestrate(scenarios: list[str] | None = None) -> None:
                     round((rhi["urls_per_sec"] / rlo["urls_per_sec"]) / (hi / lo), 3)
                 )
             eff = max(per_rep)
-            rep_best = per_rep.index(eff)
-            best_runs[(scenario, lo)] = by_rep[(rep_best, scenario, lo)]
-            best_runs[(scenario, hi)] = by_rep[(rep_best, scenario, hi)]
             ceiling = matched["ceiling"]
             pairs.append(
                 {
@@ -422,6 +438,10 @@ def recompute(ts: str) -> None:
     ensure_corpus()
     pairs = []
     best_runs = {}
+    for (rep, scenario, cpus), got in by_rep.items():
+        cur = best_runs.get((scenario, cpus))
+        if cur is None or got["urls_per_sec"] > cur["urls_per_sec"]:
+            best_runs[(scenario, cpus)] = got
     for lo, hi in PAIRS:
         synth = machine_ceiling(lo, hi)
         matched = matched_ceiling(lo, hi)
@@ -432,18 +452,16 @@ def recompute(ts: str) -> None:
                 for rep in reps
             ]
             eff = max(per_rep)
-            rep_best = per_rep.index(eff)
-            best_runs[(scenario, lo)] = by_rep[(reps[rep_best], scenario, lo)]
-            best_runs[(scenario, hi)] = by_rep[(reps[rep_best], scenario, hi)]
+            ceiling = matched["ceiling"]
             pairs.append({
                 "pair": f"local[{lo}] -> local[{hi}]",
                 "scenario": scenario,
                 "scaling_efficiency": eff,
                 "per_rep_efficiency": per_rep,
                 "machine_ceiling_synthetic": round(synth, 3),
-                "machine_ceiling_matched": matched["ceiling"],
+                "machine_ceiling_matched": ceiling,
                 "matched_pages_per_sec": matched["pages_per_sec"],
-                "fraction_of_ceiling": round(eff / matched["ceiling"], 3),
+                "fraction_of_ceiling": round(eff / ceiling, 3) if ceiling else None,
                 "pass": eff >= 0.8,
             })
     report = {
