@@ -27,8 +27,11 @@ _WORD = r"\w+"
 
 
 def tokens(text_col: str | Column) -> Column:
+    # NULL text tokenizes as empty (coalesce): a failed-parse page has
+    # no tokens, and NULL-vs-[] divergence between engines is exactly
+    # the latent-hash-gate bug class the messy-input suite pins
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.regexp_extract_all(F.lower(c), F.lit(_WORD), 0)
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit(_WORD), 0)
 
 
 def bigrams(tokens_col: str) -> Column:

@@ -490,7 +490,8 @@ def q17(spark, sf_dir):
 # =====================================================================
 
 _TOKS_CTE = (
-    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)"
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS t FROM documents)"
 )
 
 
@@ -632,8 +633,9 @@ def q22(spark, sf_dir):
     """
     WITH norm AS (
       SELECT doc_id,
-             array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'),
-                                         t -> t <> 'dup'), ' ') AS norm_text
+             coalesce(array_to_string(list_filter(
+                 regexp_extract_all(lower(coalesce(text, '')), '\\w+'),
+                 t -> t <> 'dup'), ' '), '') AS norm_text
       FROM documents)
     SELECT md5(norm_text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
     FROM norm GROUP BY md5(norm_text) HAVING COUNT(*) > 1
@@ -645,7 +647,7 @@ def q23(spark, sf_dir):
     the normalize->hash->groupBy exact-dup pipeline."""
     norm = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.array_join(F.expr("filter(" + "regexp_extract_all(lower(text), '\\\\w+', 0)" + ", t -> t <> 'dup')"), " ").alias("norm_text"),
+        F.array_join(F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"), " ").alias("norm_text"),
     )
     return (
         norm.groupBy(F.md5(F.encode(F.col("norm_text"), "utf-8")).alias("content_hash"))
@@ -835,6 +837,29 @@ def _cos_sql(a: str, b: str) -> str:
 
 _COS = _cos_sql("q.embedding", "e.embedding")
 
+# similarity-ready embeddings source, shared by every ANN/near-dup
+# probe in BOTH engines: NULL and zero-norm vectors are excluded
+# (cosine is undefined on them — without this, a single bad row turns
+# into DIVIDE_BY_ZERO under Spark ANSI mode and engine-specific
+# NULL propagation in DuckDB; pinned by tests/test_probe_messy_inputs)
+# MATERIALIZED is load-bearing: over parquet sources DuckDB's
+# optimizer flattens plain subqueries/CTEs and can evaluate the join's
+# cosine below this filter, crashing on the very rows it excludes
+_EMB_CTE = (
+    "emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+    "WHERE embedding IS NOT NULL "
+    "AND list_sum(list_transform(embedding, x -> x * x)) > 0)"
+)
+
+
+def _emb(spark, sf_dir):
+    """Spark twin of _EMB_CTE: the similarity-ready embeddings view."""
+    sq = F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+    return _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (sq > 0)
+    )
+
+
 
 def _cosine_expr(a: str, b: str):
     """THE shared fold (functions/simsearch.cosine_expr) — q27/q28
@@ -848,9 +873,10 @@ def _cosine_expr(a: str, b: str):
 @probe(
     "q27_knn_cosine_top5",
     f"""
+    WITH {_EMB_CTE}
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            ROUND({_COS}, 4) AS cosine
-    FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    FROM emb q JOIN emb e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
     QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id ASC) <= 5
     ORDER BY query_id, neighbor_id
     """,
@@ -858,12 +884,12 @@ def _cosine_expr(a: str, b: str):
 def q27(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): broadcast the query
     set, JVM-side fold for the dot products, per-query window top-k."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     pairs = (
-        _t(spark, sf_dir, "embeddings")
+        _emb(spark, sf_dir)
         .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", _cosine_expr("qe", "embedding"))
@@ -884,14 +910,15 @@ def q27(spark, sf_dir):
 @probe(
     "q28_embedding_neardup_pairs",
     f"""
+    WITH {_EMB_CTE}
     SELECT q.vec_id AS vec_a, e.vec_id AS vec_b, ROUND({_COS}, 4) AS cosine
-    FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+    FROM emb q JOIN emb e ON q.vec_id < e.vec_id
     WHERE {_COS} > 0.4
     ORDER BY vec_a, vec_b
     """,
 )
 def q28(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _cosine_expr("ea", "eb")
@@ -937,8 +964,9 @@ def _srp_bucket_sql(n_planes: int, dim: int, offset: int = 0, n_total: int | Non
 @probe(
     "q33_srp_ann_topk",
     f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {_srp_bucket_sql(4, 64)} AS bucket FROM embeddings),
+    WITH {_EMB_CTE},
+    b AS (
+      SELECT vec_id, embedding, {_srp_bucket_sql(4, 64)} AS bucket FROM emb),
     pairs AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_COS} AS cos
       FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
@@ -959,7 +987,7 @@ def q33(spark, sf_dir):
     tests/test_pipeline_ops.py."""
     from ..functions.simsearch import ann_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 5)
     out = ann_topk(e, q, k=5, n_planes=4, dim=64)
     return out.select(
@@ -973,15 +1001,16 @@ def q33(spark, sf_dir):
 @probe(
     "q34_ivf_ann_topk",
     f"""
-    WITH cents AS (
+    WITH {_EMB_CTE},
+    cents AS (
       SELECT vec_id AS cell_id, embedding AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT 8),
+      FROM emb ORDER BY vec_id LIMIT 8),
     assign AS (
       SELECT e.vec_id, e.embedding, c.cell_id,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
                                          c.cell_id ASC) AS r
-      FROM embeddings e CROSS JOIN cents c),
+      FROM emb e CROSS JOIN cents c),
     cells AS (SELECT vec_id, embedding, cell_id FROM assign WHERE r = 1),
     probed AS (
       SELECT vec_id AS query_id, embedding AS q_vec, cell_id
@@ -1007,7 +1036,7 @@ def q34(spark, sf_dir):
     The oracle recomputes the identical centroids/cells in SQL."""
     from ..functions.simsearch import ivf_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 5)
     out = ivf_topk(e, q, k=5, n_cells=8, nprobe=2)
     return out.select(
@@ -1020,7 +1049,7 @@ def q34(spark, sf_dir):
 
 _Q35_BANDS = "\n      UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, "
-    f"{_srp_bucket_sql(3, 64, offset=3 * b, n_total=9)} AS bucket FROM embeddings"
+    f"{_srp_bucket_sql(3, 64, offset=3 * b, n_total=9)} AS bucket FROM emb"
     for b in range(3)
 )
 
@@ -1028,7 +1057,8 @@ _Q35_BANDS = "\n      UNION ALL ".join(
 @probe(
     "q35_embedding_neardup_lsh",
     f"""
-    WITH bands AS (
+    WITH {_EMB_CTE},
+    bands AS (
       {_Q35_BANDS}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1036,8 +1066,8 @@ _Q35_BANDS = "\n      UNION ALL ".join(
                                AND a.vec_id < b.vec_id),
     pairs AS (
       SELECT vec_a, vec_b, {_cos_sql('q.embedding', 'e.embedding')} AS cos
-      FROM cand JOIN embeddings q ON q.vec_id = vec_a
-                JOIN embeddings e ON e.vec_id = vec_b)
+      FROM cand JOIN emb q ON q.vec_id = vec_a
+                JOIN emb e ON e.vec_id = vec_b)
     SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
     FROM pairs WHERE cos > 0.4 ORDER BY vec_a, vec_b
     """,
@@ -1052,7 +1082,7 @@ def q35(spark, sf_dir):
     tests/test_pipeline_ops.py)."""
     from ..functions.simsearch import srp_band_buckets
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     bands = srp_band_buckets(emb, n_bands=3, planes_per_band=3, dim=64)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1084,10 +1114,11 @@ def q35(spark, sf_dir):
     f"""
     {_TOKS_CTE}
     SELECT doc_id, len(t) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
            CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stopwords,
-           ROUND(CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
-                 / len(t), 6) AS stopword_ratio,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE ROUND(CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                           / len(t), 6) END AS stopword_ratio,
            CASE WHEN len(t) >= 40 AND
                      CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(t) < 0.12
                 THEN 'high' ELSE 'low' END AS quality
@@ -1097,11 +1128,15 @@ def q35(spark, sf_dir):
 def q29(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     n_stop = F.expr(f"size(filter(t, x -> x IN ({_SW_SQL})))")
-    ratio = n_stop.cast("double") / F.size("t")
+    # zero-token docs have ratio 0.0 by definition (guarded: ANSI mode
+    # turns 0/0 into an error, and the oracle's CASE matches this)
+    ratio = F.when(
+        F.size("t") > 0, n_stop.cast("double") / F.size("t")
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
         n_stop.cast("long").alias("n_stopwords"),
         F.round(ratio, 6).alias("stopword_ratio"),
         F.when((F.size("t") >= 40) & (ratio < 0.12), "high").otherwise("low").alias("quality"),
@@ -1390,9 +1425,10 @@ def q40(spark, sf_dir):
 @probe(
     "q38_knn_vectorized_topk",
     f"""
+    WITH {_EMB_CTE}
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            ROUND({_COS}, 4) AS cosine
-    FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    FROM emb q JOIN emb e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
     QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id ASC) <= 5
     ORDER BY query_id, neighbor_id
     """,
@@ -1406,7 +1442,7 @@ def q38(spark, sf_dir):
     gate.  Scale shape: Python emits O(batches·Q·k) rows, never N·Q."""
     from ..functions.simsearch import knn_topk_vectorized
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 5)
     out = knn_topk_vectorized(e, q, k=5)
     return out.select(
