@@ -92,3 +92,82 @@ def test_probe_matches_oracle_on_messy_corpus(spark, messy_dir, messy_ddb, name)
     for c in cols:
         for i, (x, y) in enumerate(zip(s[c].tolist(), o[c].tolist())):
             assert _null_eq(x, y), f"{name}.{c}[{i}]: spark={x!r} oracle={y!r}"
+
+
+# ---------------------------------------------------------------------
+# events probes: NULL user_id / event_type / value / props — pins that
+# GROUP BY-NULL, window, and transition semantics agree across engines
+# (Spark and DuckDB have DIFFERENT default NULL ordering in ORDER BY,
+# so any probe that lets a nullable column reach a window sort would
+# diverge here first)
+# ---------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+
+@pytest.fixture(scope="module")
+def messy_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("messy_events"))
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + timedelta(minutes=i * 7),
+                "user_id": (i % 5) if i % 11 else None,
+                "event_type": ["view", "click", "error", None][i % 4],
+                "value": None if i % 7 == 3 else round(0.5 * i, 2),
+                "props": None if i % 9 == 4 else '{"k": 1}',
+            }
+        )
+    ev = pd.DataFrame(rows)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev,
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def messy_events_ddb(messy_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{messy_events_dir}/events.parquet'"
+    )
+    return con
+
+
+def _event_probe_names():
+    return sorted(
+        n for n, sql in probes.oracles().items() if re.search(r"\bevents\b", sql)
+    )
+
+
+@pytest.mark.parametrize("name", _event_probe_names())
+def test_event_probe_matches_oracle_on_messy_events(
+    spark, messy_events_dir, messy_events_ddb, name
+):
+    sdf = probes.registry()[name](spark, messy_events_dir).toPandas()
+    odf = messy_events_ddb.execute(probes.oracles()[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    o = odf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    assert len(s) == len(o), f"{name}: {len(s)} vs {len(o)} rows"
+    for c in cols:
+        for i, (x, y) in enumerate(zip(s[c].tolist(), o[c].tolist())):
+            assert _null_eq(x, y), f"{name}.{c}[{i}]: spark={x!r} oracle={y!r}"
