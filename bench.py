@@ -47,6 +47,7 @@ HEADLINE = [
     "q41_image_decode_roundtrip",
     "q42_bpe_token_count",
     "q43_audio_decode_roundtrip",
+    "q44_video_frame_sample",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -13,14 +13,17 @@ binary PGM/PPM).
 
 Audio is real too for PCM WAV: a RIFF chunk-walking header decoder
 (``decode_wav`` -> channels / sample rate / bit depth / frame count)
-with a matching encoder, wired through ``decode_audio_meta``.
+with a matching encoder, wired through ``decode_audio_meta``.  Video
+is real for uncompressed AVI: a RIFF mux/demux pair (``encode_avi`` /
+``decode_avi``) extracts TRUE frame bytes from the movi chunks, and
+``frame_sample`` samples those.
 
-Still stubbed — clearly marked — is the one thing that genuinely
-needs a codec library absent from this container: video FRAME
-extraction (``frame_sample`` hashes fixed-size byte slices as
-stand-in frames).  The Spark-side plumbing (schemas, Arrow batch
-iteration, partitioning) is identical either way; in production only
-the stub body changes.
+The one remaining fallback — clearly flagged per-row via the
+``demuxed`` column — is frame extraction from COMPRESSED video
+payloads (needs libav, absent in this container): those take
+fixed-size byte slices as stand-in frames.  The Spark-side plumbing
+(schemas, Arrow batch iteration, partitioning) is identical either
+way.
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ __all__ = [
     "encode_pnm",
     "decode_wav",
     "encode_wav",
+    "decode_avi",
+    "encode_avi",
     "decode_image_meta",
     "decode_audio_meta",
     "frame_sample",
@@ -239,6 +244,85 @@ def encode_wav(n_channels: int, sample_rate: int, samples: bytes,
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(samples)) + data
     )
+
+
+# ---------------------------------------------------------------------
+# real video container: uncompressed AVI (RIFF) mux/demux
+# ---------------------------------------------------------------------
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Real AVI writer (RIFF 'AVI ' + hdrl(avih, strl(strh 'vids'/'DIB ',
+    strf BITMAPINFOHEADER)) + movi '00db' chunks): uncompressed RGB24
+    frames, each ``width*height*3`` bytes."""
+    fsize = width * height * 3
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError("frame buffer size mismatch")
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, fsize * fps, 0, 0x10, len(frames), 0, 1,
+        fsize, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                  len(frames), fsize, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                                   + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
+    """Real AVI demux: returns ``(width, height, n_frames, frames)``
+    for uncompressed-video AVIs ('00db'/'00dc' movi chunks), or None
+    when the payload is not an AVI.  Chunk-walks the RIFF tree like a
+    real reader — header and movi lists may sit anywhere."""
+    if not blob:
+        return None
+    b = bytes(blob)
+    if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    width = height = None
+    declared = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, declared
+        i = start
+        while i + 8 <= end:
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body_start, body_end = i + 8, min(i + 8 + clen, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type fourcc
+            elif cid == b"avih" and body_end - body_start >= 40:
+                vals = struct.unpack("<10I", b[body_start : body_start + 40])
+                declared, width, height = vals[4], vals[8], vals[9]
+            elif cid in (b"00db", b"00dc"):
+                if body_start + clen > end:
+                    return  # truncated frame chunk — stop, caller refuses
+                frames.append(b[body_start:body_end])
+            i = body_start + clen + (clen & 1)
+
+    walk(12, min(8 + struct.unpack("<I", b[4:8])[0], len(b)))
+    if width is None or not frames:
+        return None
+    if declared is not None and declared != len(frames):
+        return None  # header/stream mismatch — refuse, don't guess
+    return width, height, len(frames), frames
 
 
 def _paeth(a: int, bb: int, c: int) -> int:
@@ -481,28 +565,54 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Deterministic frame-sampling plumbing for video-kind rows: emits
-    (media_id, frame_idx, frame_sha) for sampled frame indices.  The
-    frame *extraction* is STUBBED (no video codec in this container:
-    frame bytes = fixed-size slice, sha over the slice); the
-    explode/partition shape is the real thing."""
+    """Frame sampling for video-kind rows: every ``every_n``-th frame's
+    sha + dims.  REAL demux for uncompressed AVI payloads (decode_avi:
+    true frame bytes out of the movi chunks); non-AVI payloads take
+    the documented fallback — fixed-size byte slices as stand-in
+    frames (compressed codecs need libav, absent in this container) —
+    flagged by ``demuxed=false``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, shas = [], [], []
+            ids, idxs, shas, ws, hs, real = [], [], [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 if blob is None:
                     continue
                 b = bytes(blob)
-                n_frames = max(1, len(b) // 64)  # STUB: 64 bytes ~ one frame
+                avi = decode_avi(b)
+                if avi is not None:
+                    w, h, n_frames, frames = avi
+                    for i in range(0, n_frames, every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        shas.append(hashlib.sha256(frames[i]).hexdigest())
+                        ws.append(w)
+                        hs.append(h)
+                        real.append(True)
+                    continue
+                n_frames = max(1, len(b) // 64)  # fallback: 64 bytes ~ one frame
                 for i in range(0, n_frames, every_n):
                     ids.append(mid)
                     idxs.append(i)
                     shas.append(hashlib.sha256(b[i * 64 : (i + 1) * 64]).hexdigest())
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_sha": shas})
+                    ws.append(None)
+                    hs.append(None)
+                    real.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_sha": shas,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "demuxed": pd.array(real, dtype="boolean"),
+                }
+            )
 
     return media.where(F.col("kind") == "video").mapInPandas(
-        op, schema="media_id long, frame_idx int, frame_sha string"
+        op,
+        schema="media_id long, frame_idx int, frame_sha string, "
+        "width int, height int, demuxed boolean",
     )
 
 

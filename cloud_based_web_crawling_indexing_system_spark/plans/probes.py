@@ -1298,6 +1298,65 @@ def q43(spark, sf_dir):
     )
 
 
+@probe(
+    "q44_video_frame_sample",
+    """
+    WITH g AS (SELECT doc_id, 4 + doc_id % 12 AS n_frames FROM documents)
+    SELECT doc_id,
+           CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(3 * ((n_frames + 2) // 3 - 1) AS INT) AS max_frame_idx,
+           CAST(2 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 3 AS INT) AS height,
+           CAST((n_frames + 2) // 3 AS BIGINT) AS n_demuxed
+    FROM g
+    """,
+)
+def q44(spark, sf_dir):
+    """Real video frame sampling through the driver gate: per doc_id
+    the engine MUXES an uncompressed AVI (RIFF writer, deterministic
+    RGB24 frames) with doc_id-derived frame count and dims, then
+    frame_sample DEMUXES true frames out of the movi chunks (every
+    3rd); the oracle recomputes the sampled counts/dims from the
+    arithmetic.  n_demuxed == n_sampled proves every sampled frame
+    came off the real demux path, not the byte-slice fallback."""
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        frame_sample,
+        test_pixels,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "blob": [], "mime": [], "meta_json": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 5, 2 + did % 3
+                n = 4 + did % 12
+                frames = [test_pixels(w, h, 3, seed=(did + i) % 83) for i in range(n)]
+                out["media_id"].append(did)
+                out["kind"].append("video")
+                out["blob"].append(encode_avi(w, h, frames, fps=10))
+                out["mime"].append("video/x-msvideo")
+                out["meta_json"].append("{}")
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(enc, schema=MEDIA_SCHEMA)
+    return frame_sample(media, every_n=3).groupBy(
+        F.col("media_id").alias("doc_id")
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+        F.sum(F.col("demuxed").cast("long")).alias("n_demuxed"),
+    )
+
+
 def _bpe_duck_cnt() -> str:
     from ..functions.quality import bpe_chain_sql
 

@@ -416,3 +416,32 @@ def test_wav_codec_roundtrip_and_rejection():
     assert decode_wav(blob[:20]) is None
     assert decode_wav(b"RIFFxxxxAVI ") is None
     assert decode_wav(b"") is None and decode_wav(None) is None
+
+
+def test_avi_mux_demux_roundtrip_and_rejection():
+    """Real RIFF/AVI demux: true frame bytes out of the movi chunks,
+    header dims respected, header/stream mismatch refused."""
+    import struct
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_avi,
+        encode_avi,
+        test_pixels,
+    )
+
+    frames = [test_pixels(4, 3, 3, seed=i) for i in range(7)]
+    blob = encode_avi(4, 3, frames, fps=5)
+    assert decode_avi(blob) == (4, 3, 7, frames)  # byte-exact frames
+
+    # odd-sized frames get RIFF pad bytes that must not leak into data
+    odd = [test_pixels(3, 3, 3, seed=i) for i in range(4)]
+    assert decode_avi(encode_avi(3, 3, odd))[3] == odd
+
+    # rejections: WAV riff, garbage, truncation, frame-count mismatch
+    assert decode_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert decode_avi(b"definitely not a container") is None
+    assert decode_avi(blob[:30]) is None
+    bad = bytearray(blob)
+    struct.pack_into("<I", bad, bad.find(b"avih") + 8 + 16, 99)  # dwTotalFrames
+    assert decode_avi(bytes(bad)) is None
+    assert decode_avi(None) is None and decode_avi(b"") is None

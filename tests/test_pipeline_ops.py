@@ -370,3 +370,42 @@ def test_audio_decode_meta(spark):
             ch, rate, bits, frames)
         assert len(r["sha"]) == 64
     assert got[50]["n_channels"] is None and got[50]["n_samples"] is None
+
+
+def test_frame_sample_real_avi_demux(spark):
+    """frame_sample takes the REAL demux path for AVI payloads: frame
+    shas equal hashes of the true frame bytes, dims come from the
+    header, and demuxed=True; non-AVI blobs take the flagged
+    fallback."""
+    import hashlib
+
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        frame_sample,
+        test_pixels,
+    )
+
+    frames = [test_pixels(5, 4, 3, seed=i) for i in range(9)]
+    rows = [
+        (1, "video", encode_avi(5, 4, frames, fps=10), "video/x-msvideo", "{}"),
+        (2, "video", b"opaque compressed payload " * 20, "video/mp4", "{}"),
+        (3, "image", encode_avi(5, 4, frames[:1]), "video/x-msvideo", "{}"),  # kind gate
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = frame_sample(media, every_n=4).collect()
+    avi = sorted((r["frame_idx"], r) for r in got if r["media_id"] == 1)
+    assert [i for i, _ in avi] == [0, 4, 8]
+    for i, r in avi:
+        assert r["frame_sha"] == hashlib.sha256(frames[i]).hexdigest()
+        assert (r["width"], r["height"], r["demuxed"]) == (5, 4, True)
+    fallback = [r for r in got if r["media_id"] == 2]
+    assert fallback and all(
+        not r["demuxed"] and r["width"] is None for r in fallback
+    )
+    assert not [r for r in got if r["media_id"] == 3]  # non-video kind skipped
