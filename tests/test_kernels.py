@@ -445,3 +445,58 @@ def test_avi_mux_demux_roundtrip_and_rejection():
     struct.pack_into("<I", bad, bad.find(b"avih") + 8 + 16, 99)  # dwTotalFrames
     assert decode_avi(bytes(bad)) is None
     assert decode_avi(None) is None and decode_avi(b"") is None
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_image_codec_roundtrip_property(w, h, ch, seed):
+    """Property: decode∘encode == identity for every (dims, channels,
+    content) the encoders accept — PNG incl. pixel payload, BMP/PNM
+    headers."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_image,
+        decode_png_pixels,
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        test_pixels,
+    )
+
+    px = test_pixels(w, h, ch, seed=seed)
+    blob = encode_png(w, h, px, ch)
+    assert decode_image(blob) == ("png", w, h, ch)
+    assert decode_png_pixels(blob) == (w, h, ch, px)
+    if ch == 3:
+        assert decode_image(encode_bmp(w, h, px)) == ("bmp", w, h, 3)
+        assert decode_image(encode_pnm(w, h, px, 3)) == ("ppm", w, h, 3)
+    if ch == 1:
+        assert decode_image(encode_pnm(w, h, px, 1)) == ("pgm", w, h, 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 22050, 44100]),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=8),
+)
+def test_av_codec_roundtrip_property(ch, rate, frames, n_vid, seed):
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_avi,
+        decode_wav,
+        encode_avi,
+        encode_wav,
+        test_pixels,
+    )
+
+    pcm = test_pixels(frames, ch, 2, seed=seed)
+    assert decode_wav(encode_wav(ch, rate, pcm)) == (ch, rate, 16, frames)
+    w, h = 1 + seed % 5, 1 + (seed * 3) % 4
+    vid = [test_pixels(w, h, 3, seed=seed + i) for i in range(n_vid)]
+    assert decode_avi(encode_avi(w, h, vid)) == (w, h, n_vid, vid)

@@ -140,3 +140,22 @@ def test_q24_single_aggregation_subtree(spark):
     # one partial+final pair per side of the self-join at most; the
     # old union plan had up to 16 HashAggregates
     assert plan.count("HashAggregate") <= 6
+
+
+def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
+    """Scale shapes of the round-4 probes: the codec roundtrips
+    (q41/q43/q44 pre-aggregation stages) are pure narrow Arrow map
+    chains — zero Exchange — and the BPE count (q42) stays entirely
+    JVM-side (no Python evaluation node anywhere in its plan)."""
+    for name in ("q41_image_decode_roundtrip", "q43_audio_decode_roundtrip"):
+        plan = _plan(probes.registry()[name](spark, SF))
+        assert "Exchange" not in plan, name  # encode->decode never shuffles
+
+    # q44 aggregates per doc at the end; everything below the single
+    # partial/final agg pair is the narrow mux->demux chain
+    plan = _plan(probes.registry()["q44_video_frame_sample"](spark, SF))
+    assert plan.count("Exchange") <= 1
+
+    plan = _plan(probes.registry()["q42_bpe_token_count"](spark, SF))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
