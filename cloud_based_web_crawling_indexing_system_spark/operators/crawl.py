@@ -778,6 +778,15 @@ class CrawlRun:
             compact_state = allp.groupBy("term", "job_id", "url", "url_hash").agg(
                 F.sum("frequency").alias("frequency")
             )
+            # term-clustered + totally-sorted checkpoint: search's
+            # term-IN predicate (search_query.compile_search) reaches
+            # the parquet scan as a PushedFilter, and clustering makes
+            # the row-group min/max stats SELECTIVE — a search reads
+            # ~one file instead of the whole checkpoint.  Total sort
+            # order keeps the replayed rewrite byte-deterministic.
+            compact_state = compact_state.repartition(F.col("term")).sortWithinPartitions(
+                "term", "job_id", "url"
+            )
             # seen checkpoint: plain union (rounds are disjoint sets —
             # every url_hash enters the seen table exactly once), over
             # COMMITTED rounds <= r only, so a replayed round rewrites

@@ -46,8 +46,15 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
         return empty
     need = len(terms)  # quirk: duplicates in the query inflate the AND bar
     tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    # literal isin BEFORE the semi-join: semantically identical (the
+    # join already restricts to these terms) but, unlike a join, an In
+    # predicate reaches the parquet scan as a PushedFilter — at 100 TB
+    # the postings read prunes row groups on term min/max stats instead
+    # of scanning every postings file per search (queries are a handful
+    # of terms, so the literal list stays tiny)
     scored = (
-        postings.join(F.broadcast(tdf), "term")  # J6
+        postings.where(F.col("term").isin(sorted(set(terms))))
+        .join(F.broadcast(tdf), "term")  # J6
         .groupBy("url")
         .agg(
             F.sum("frequency").alias("frequency"),
@@ -59,7 +66,12 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
     )
     if ex_stems:
         exdf = spark.createDataFrame([(t,) for t in sorted(set(ex_stems))], "term string")
-        excluded = postings.join(F.broadcast(exdf), "term").select("url").distinct()
+        excluded = (
+            postings.where(F.col("term").isin(sorted(set(ex_stems))))
+            .join(F.broadcast(exdf), "term")
+            .select("url")
+            .distinct()
+        )
         scored = scored.join(excluded, "url", "left_anti")  # J5
     out = scored.select("url", "frequency").orderBy(F.desc("frequency"), F.asc("url"))
     # `is not None`, not truthiness: limit=0 means ZERO rows, not all

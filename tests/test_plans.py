@@ -159,3 +159,34 @@ def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
     plan = _plan(probes.registry()["q42_bpe_token_count"](spark, SF))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_search_term_filter_reaches_parquet_scan(spark, tmp_path):
+    """A4 at scale: the search's literal term-IN predicate must land in
+    the postings parquet scan's DataFilters (the broadcast semi-join
+    alone cannot push down), so term-clustered checkpoints prune row
+    groups instead of scanning every postings file per search."""
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.plans.search_query import (
+        compile_search,
+    )
+
+    pdir = str(tmp_path / "postings")
+    pd.DataFrame(
+        {
+            "term": ["data", "engin", "zebra"],
+            "job_id": ["j"] * 3,
+            "url": ["u1", "u1", "u2"],
+            "url_hash": ["h1", "h1", "h2"],
+            "frequency": [3, 1, 9],
+        }
+    ).to_parquet(pdir)
+    postings = spark.read.parquet(pdir)
+    df = compile_search(spark, postings, "data engine", limit=5)
+    assert [r["url"] for r in df.collect()] == ["u1"]
+    # read the FINAL adaptive plan (the pre-execution string elides the
+    # subtree under AdaptiveSparkPlan isFinalPlan=false)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and any("term" in l and " IN " in l for l in scans), plan[:3000]
