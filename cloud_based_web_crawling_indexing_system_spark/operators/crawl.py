@@ -227,8 +227,12 @@ class CrawlRun:
         )
         rob.write.mode("overwrite").parquet(os.path.join(self.root, "robots"))
 
+        pages_dirty = self._compute_pages_dirty(
+            self.spark.read.parquet(pages_path)
+        )
         with open(os.path.join(self.root, "state.json"), "w") as f:
-            json.dump({"pages_path": pages_path, "cfg": asdict(self.cfg)}, f)
+            json.dump({"pages_path": pages_path, "cfg": asdict(self.cfg),
+                       "pages_dirty": pages_dirty}, f)
 
         fr0 = self.spark.createDataFrame(
             pd.DataFrame(frontier_rows, columns=FRONTIER_COLS),
@@ -262,9 +266,58 @@ class CrawlRun:
         # one DataFrame per run: reuses the parquet FileIndex (no
         # re-listing per round); only (url, html) are ever read -> the
         # scan is column-pruned to exactly those two columns.
-        self._pages_df = self.spark.read.parquet(self._pages_path).select("url", "html")
+        # snapshot-dirtiness flag (computed once at init, persisted):
+        # Common-Crawl-style archives hold duplicate snapshots of a url
+        # and rows with NULL payloads; resolving them costs a per-round
+        # window shuffle that a clean archive must not pay.  Old roots
+        # without the key recompute it here (one url+null scan).
+        self._pages_dirty = st.get("pages_dirty")
+        if self._pages_dirty is None:
+            self._pages_dirty = self._compute_pages_dirty(
+                self.spark.read.parquet(self._pages_path)
+            )
+        if self._pages_dirty:
+            # warc_ts rides along ONLY when snapshot resolution needs it
+            self._pages_df = self.spark.read.parquet(self._pages_path).select(
+                "url", "warc_ts", "html"
+            )
+        else:
+            self._pages_df = self.spark.read.parquet(self._pages_path).select(
+                "url", "html"
+            )
         if cfg.use_bloom and self._seen_total() >= cfg.bloom_min_seen:
             self._activate_bloom()
+
+    @staticmethod
+    def _resolve_snapshots(fetched: DataFrame) -> DataFrame:
+        """Snapshot discipline for dirty archives (broadcast-fetch
+        path): NULL payloads are fetch failures (dropped — the miss
+        anti-join downstream requeues the url), and among duplicate
+        snapshots of a url the LATEST warc_ts wins, md5(html) as the
+        deterministic tiebreak for equal timestamps.  Costs one window
+        shuffle over the MATCHED rows (round-sized, never the corpus);
+        skipped entirely for clean archives via the pages_dirty flag."""
+        w_snap = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.md5(F.col("html")))
+        )
+        return (
+            fetched.where(F.col("html").isNotNull())
+            .withColumn("_sn", F.row_number().over(w_snap))
+            .where(F.col("_sn") == 1)
+            .drop("_sn", "warc_ts")
+        )
+
+    @staticmethod
+    def _compute_pages_dirty(pages: DataFrame) -> bool:
+        """True when the archive needs per-round snapshot resolution:
+        duplicate urls (multiple WARC snapshots) or NULL payloads.
+        One aggregate over (url, html-nullness) at init time."""
+        row = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("url").alias("nu"),
+            F.sum(F.col("html").isNull().cast("long")).alias("nn"),
+        ).head()
+        return bool(row["n"] != row["nu"] or (row["nn"] or 0) > 0)
 
     def _check_layout(self, jobs_pdf: pd.DataFrame) -> None:
         """Resume-time layout guard (advisor r3): the jobs table and
@@ -546,10 +599,31 @@ class CrawlRun:
         pages = self._pages_df
         if n_in <= cfg.broadcast_fetch_rows:
             fetched = pages.join(F.broadcast(admitted), "url", "inner")
+            if self._pages_dirty:
+                fetched = self._resolve_snapshots(fetched)
         else:
             joined = admitted.join(pages, "url", "left")
-            fetched = joined.where(F.col("html").isNotNull())
-            missed = joined.where(F.col("html").isNull()).select(*FRONTIER_COLS)
+            if self._pages_dirty:
+                # one window resolves BOTH questions per url: the best
+                # valid snapshot (latest warc_ts, md5(html) tiebreak)
+                # wins; a url with no valid snapshot at all is a miss.
+                # The join already shuffled on url, so the window adds
+                # no extra exchange.
+                w_best = Window.partitionBy("url").orderBy(
+                    F.desc(F.col("html").isNotNull()),
+                    F.desc("warc_ts"),
+                    F.desc(F.md5(F.col("html"))),
+                )
+                best = (
+                    joined.withColumn("_sn", F.row_number().over(w_best))
+                    .where(F.col("_sn") == 1)
+                    .drop("_sn")
+                )
+                fetched = best.where(F.col("html").isNotNull()).drop("warc_ts")
+                missed = best.where(F.col("html").isNull()).select(*FRONTIER_COLS)
+            else:
+                fetched = joined.where(F.col("html").isNotNull())
+                missed = joined.where(F.col("html").isNull()).select(*FRONTIER_COLS)
 
         parsed = (
             fetched.withColumn("p", parse_page_udf("html", "url"))

@@ -121,7 +121,22 @@ def crawl_oracle(
     seeds: pd.DataFrame,
     cfg: CrawlConfig = CrawlConfig(),
 ) -> OracleResult:
-    page_html = {r.url: bytes(r.html) for r in pages.itertuples()}
+    # snapshot discipline (same contract as CrawlRun._resolve_snapshots):
+    # NULL payloads are fetch failures, and among duplicate snapshots
+    # of a url the latest warc_ts wins with md5(html) hex as the
+    # deterministic tiebreak for equal timestamps
+    import hashlib as _hl
+
+    _best: dict[str, tuple] = {}
+    for r in pages.itertuples():
+        if r.html is None:
+            continue
+        b = bytes(r.html)
+        key = (r.warc_ts, _hl.md5(b).hexdigest())
+        cur = _best.get(r.url)
+        if cur is None or key > cur[0]:
+            _best[r.url] = (key, b)
+    page_html = {u: b for u, (_, b) in _best.items()}
     rules_by_host = {r.host: RobotsRules(r.robots_txt) for r in robots.itertuples()}
     allow_all = RobotsRules(None)
 

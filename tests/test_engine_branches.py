@@ -405,3 +405,75 @@ def test_old_layout_root_fails_explicitly(spark, corpus, tmp_path):
     pq.write_table(t, mfile)
     with pytest.raises(RuntimeError, match="reinit required"):
         CrawlRun(spark, str(run2_root))._load_dims()
+
+
+def test_dirty_pages_snapshot_discipline(spark, corpus, tmp_path):
+    """Common-Crawl-style archives hold duplicate snapshots per url and
+    rows with NULL payloads.  Contract (engine + oracle): NULL html is
+    a fetch failure (retry path), and among duplicate snapshots the
+    LATEST warc_ts wins with md5(html) as the deterministic tiebreak —
+    identical through the broadcast fetch path, the shuffled-fallback
+    path, and the sequential oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloud_based_web_crawling_indexing_system_spark.sources.fixtures import _SCHEMAS
+
+    pages = pd.read_parquet(corpus["pages"])
+    # pick urls that the crawl actually reaches (root + early pages)
+    u_stale = pages.url.iloc[1]
+    u_tie = pages.url.iloc[2]
+    u_null = pages.url.iloc[3]
+    stale = pages[pages.url == u_stale].iloc[0].copy()
+    stale["warc_ts"] = stale["warc_ts"] - pd.Timedelta(days=3)
+    stale["html"] = b"<html><body>stale snapshot loser</body></html>"
+    tie = pages[pages.url == u_tie].iloc[0].copy()  # SAME warc_ts, other bytes
+    tie["html"] = b"<html><body>zz tiebreak candidate</body></html>"
+    dirty = pd.concat([pages, pd.DataFrame([stale, tie])], ignore_index=True)
+    dirty.loc[dirty.url == u_null, "html"] = None
+    dirty_path = str(tmp_path / "dirty_pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(dirty, schema=_SCHEMAS["pages"], preserve_index=False),
+        dirty_path,
+    )
+    dirty_corpus = dict(corpus, pages=dirty_path)
+
+    cfg = CrawlConfig(round_budget_s=1e9)
+    bcast = _run(spark, tmp_path / "dirty_bcast", dirty_corpus, cfg)
+    assert bcast._pages_dirty is True
+    shuffled = _run(
+        spark, tmp_path / "dirty_shuf", dirty_corpus,
+        CrawlConfig(round_budget_s=1e9, broadcast_fetch_rows=0),
+    )
+    assert _snap(bcast) == _snap(shuffled)
+
+    oracle = crawl_oracle(
+        pd.read_parquet(dirty_path),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        cfg,
+    )
+    got_texts = {r["url"]: r["index_text"] for r in bcast.texts_df().collect()}
+    assert set(got_texts) == set(oracle.texts)
+    for url, b in oracle.texts.items():
+        assert got_texts[url].encode("utf-8") == b
+
+    # the stale loser's text never appears; the original snapshot won
+    assert "stale snapshot loser" not in " ".join(got_texts.values())
+    # the tie was resolved (deterministically) and matches the oracle
+    assert u_tie in got_texts
+    # the NULL-payload url was never indexed, and its failure is
+    # accounted (miss/fail counters, not silent disappearance)
+    assert u_null not in got_texts
+    m = bcast.metrics_df()
+    from pyspark.sql import functions as SF
+    fails = (
+        m.where(SF.col("key").isin("n_missed", "n_failed"))
+        .agg(SF.sum("value")).head()[0]
+    )
+    assert fails and fails > 0
+
+    # a CLEAN corpus keeps the zero-overhead path
+    clean = _run(spark, tmp_path / "clean_again", corpus,
+                 CrawlConfig(round_budget_s=1e9, max_rounds=1))
+    assert clean._pages_dirty is False
