@@ -299,15 +299,17 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
     declared = None
     frames: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, declared
+        if depth > 16:
+            return  # hostile nesting (real AVIs nest ~3 deep) — stop
         i = start
         while i + 8 <= end:
             cid = b[i : i + 4]
             (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
             body_start, body_end = i + 8, min(i + 8 + clen, end)
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip the list type fourcc
+                walk(body_start + 4, body_end, depth + 1)  # skip the list fourcc
             elif cid == b"avih" and body_end - body_start >= 40:
                 vals = struct.unpack("<10I", b[body_start : body_start + 40])
                 declared, width, height = vals[4], vals[8], vals[9]
@@ -320,6 +322,8 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
     walk(12, min(8 + struct.unpack("<I", b[4:8])[0], len(b)))
     if width is None or not frames:
         return None
+    if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
+        return None  # hostile/corrupt avih dims — refuse like siblings
     if declared is not None and declared != len(frames):
         return None  # header/stream mismatch — refuse, don't guess
     return width, height, len(frames), frames

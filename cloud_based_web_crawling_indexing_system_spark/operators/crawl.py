@@ -293,18 +293,20 @@ class CrawlRun:
         """Snapshot discipline for dirty archives (broadcast-fetch
         path): NULL payloads are fetch failures (dropped — the miss
         anti-join downstream requeues the url), and among duplicate
-        snapshots of a url the LATEST warc_ts wins, md5(html) as the
-        deterministic tiebreak for equal timestamps.  Costs one window
-        shuffle over the MATCHED rows (round-sized, never the corpus);
-        skipped entirely for clean archives via the pages_dirty flag."""
-        w_snap = Window.partitionBy("url").orderBy(
+        snapshots the LATEST warc_ts wins, md5(html) as the
+        deterministic tiebreak for equal timestamps.  Keys on the
+        per-frontier-row ``_frid`` (see step()) so duplicate frontier
+        entries of one url each keep their winning snapshot.  Costs
+        one window shuffle over the MATCHED rows (round-sized, never
+        the corpus); skipped entirely for clean archives."""
+        w_snap = Window.partitionBy("_frid").orderBy(
             F.desc("warc_ts"), F.desc(F.md5(F.col("html")))
         )
         return (
             fetched.where(F.col("html").isNotNull())
             .withColumn("_sn", F.row_number().over(w_snap))
             .where(F.col("_sn") == 1)
-            .drop("_sn", "warc_ts")
+            .drop("_sn", "_frid", "warc_ts")
         )
 
     @staticmethod
@@ -597,6 +599,18 @@ class CrawlRun:
         # Strategy picked from n_in (free, parquet footers): admitted
         # <= n_in, so broadcast stays safe.
         pages = self._pages_df
+        if self._pages_dirty:
+            # snapshot resolution is per FRONTIER ROW, not per url: in
+            # dedup='index' mode the frontier legitimately carries the
+            # same url several times (one row per discovery, each of
+            # which the oracle fetches and counts), so the winner
+            # window below keys on a per-row id minted BEFORE the join
+            # — every frontier entry independently gets the winning
+            # snapshot instead of all-but-one silently vanishing.
+            # Results never depend on the id VALUES (only grouping),
+            # so monotonically_increasing_id's run-to-run variation is
+            # harmless.
+            admitted = admitted.withColumn("_frid", F.monotonically_increasing_id())
         if n_in <= cfg.broadcast_fetch_rows:
             fetched = pages.join(F.broadcast(admitted), "url", "inner")
             if self._pages_dirty:
@@ -604,12 +618,12 @@ class CrawlRun:
         else:
             joined = admitted.join(pages, "url", "left")
             if self._pages_dirty:
-                # one window resolves BOTH questions per url: the best
-                # valid snapshot (latest warc_ts, md5(html) tiebreak)
-                # wins; a url with no valid snapshot at all is a miss.
-                # The join already shuffled on url, so the window adds
-                # no extra exchange.
-                w_best = Window.partitionBy("url").orderBy(
+                # one window resolves BOTH questions per frontier row:
+                # the best valid snapshot (latest warc_ts, md5(html)
+                # tiebreak) wins; a row with no valid snapshot at all
+                # is a miss.  The join already shuffled on url, so the
+                # window adds no extra exchange.
+                w_best = Window.partitionBy("_frid").orderBy(
                     F.desc(F.col("html").isNotNull()),
                     F.desc("warc_ts"),
                     F.desc(F.md5(F.col("html"))),
@@ -617,7 +631,7 @@ class CrawlRun:
                 best = (
                     joined.withColumn("_sn", F.row_number().over(w_best))
                     .where(F.col("_sn") == 1)
-                    .drop("_sn")
+                    .drop("_sn", "_frid")
                 )
                 fetched = best.where(F.col("html").isNotNull()).drop("warc_ts")
                 missed = best.where(F.col("html").isNull()).select(*FRONTIER_COLS)

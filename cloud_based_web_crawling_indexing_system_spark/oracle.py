@@ -132,7 +132,13 @@ def crawl_oracle(
         if r.html is None:
             continue
         b = bytes(r.html)
-        key = (r.warc_ts, _hl.md5(b).hexdigest())
+        # NaT-safe key: NULL warc_ts sorts below every real timestamp
+        # and falls through to the md5 tiebreak — matching the engine's
+        # F.desc(warc_ts) (nulls last) + F.desc(md5(html)) ordering
+        # (NaT comparisons are always False, which would otherwise
+        # freeze first-encountered-wins)
+        valid = pd.notna(r.warc_ts)
+        key = (valid, r.warc_ts if valid else pd.Timestamp.min, _hl.md5(b).hexdigest())
         cur = _best.get(r.url)
         if cur is None or key > cur[0]:
             _best[r.url] = (key, b)

@@ -848,6 +848,11 @@ _COS = _cos_sql("q.embedding", "e.embedding")
 _EMB_CTE = (
     "emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
     "WHERE embedding IS NOT NULL "
+    # NULL-element guard must be EXPLICIT here: DuckDB's list_sum
+    # skips NULL elements (so [1.0, NULL] would pass the norm test)
+    # while Spark's aggregate propagates NULL (row excluded) — the
+    # engines must drop such vectors identically
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
     "AND list_sum(list_transform(embedding, x -> x * x)) > 0)"
 )
 

@@ -45,15 +45,18 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
     if not terms:
         return empty
     need = len(terms)  # quirk: duplicates in the query inflate the AND bar
-    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    terms_list = sorted(set(terms))
+    tdf = spark.createDataFrame([(t,) for t in terms_list], "term string")
     # literal isin BEFORE the semi-join: semantically identical (the
     # join already restricts to these terms) but, unlike a join, an In
     # predicate reaches the parquet scan as a PushedFilter — at 100 TB
     # the postings read prunes row groups on term min/max stats instead
     # of scanning every postings file per search (queries are a handful
-    # of terms, so the literal list stays tiny)
+    # of terms, so the literal list stays tiny).  The broadcast join
+    # stays as the J6 shape the coverage inventory names; with the
+    # filter in place it is a cheap no-op restriction.
     scored = (
-        postings.where(F.col("term").isin(sorted(set(terms))))
+        postings.where(F.col("term").isin(terms_list))
         .join(F.broadcast(tdf), "term")  # J6
         .groupBy("url")
         .agg(
@@ -65,9 +68,10 @@ def compile_search(spark: SparkSession, postings: DataFrame, raw: str,
         (F.col("matches") == F.lit(need)) if op == "AND" else (F.col("matches") >= 1)
     )
     if ex_stems:
-        exdf = spark.createDataFrame([(t,) for t in sorted(set(ex_stems))], "term string")
+        ex_list = sorted(set(ex_stems))
+        exdf = spark.createDataFrame([(t,) for t in ex_list], "term string")
         excluded = (
-            postings.where(F.col("term").isin(sorted(set(ex_stems))))
+            postings.where(F.col("term").isin(ex_list))
             .join(F.broadcast(exdf), "term")
             .select("url")
             .distinct()

@@ -477,3 +477,69 @@ def test_dirty_pages_snapshot_discipline(spark, corpus, tmp_path):
     clean = _run(spark, tmp_path / "clean_again", corpus,
                  CrawlConfig(round_budget_s=1e9, max_rounds=1))
     assert clean._pages_dirty is False
+
+
+def test_dirty_pages_index_mode_and_null_warc_ts(spark, corpus, tmp_path):
+    """review r4 follow-ups on the snapshot discipline:
+    - dedup='index' frontiers carry DUPLICATE url entries (one per
+      discovery) — snapshot resolution must keep one winning snapshot
+      PER FRONTIER ROW, so per-round fetch counts still match the
+      oracle's per-entry accounting on a dirty archive;
+    - duplicate snapshots with NULL warc_ts resolve by the md5
+      tiebreak identically in engine and oracle (pandas NaT would
+      otherwise freeze first-encountered-wins)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloud_based_web_crawling_indexing_system_spark.sources.fixtures import _SCHEMAS
+
+    pages = pd.read_parquet(corpus["pages"])
+    u_dup = pages.url.iloc[1]
+    stale = pages[pages.url == u_dup].iloc[0].copy()
+    stale["warc_ts"] = stale["warc_ts"] - pd.Timedelta(days=2)
+    stale["html"] = b"<html><body>old snapshot</body></html>"
+    # a url whose ONLY two snapshots both have NULL warc_ts: the md5
+    # tiebreak is the sole decider
+    u_nat = pages.url.iloc[2]
+    nat_a = pages[pages.url == u_nat].iloc[0].copy()
+    nat_a["warc_ts"] = None
+    nat_b = nat_a.copy()
+    nat_b["html"] = b"<html><body>zz competing NaT snapshot</body></html>"
+    dirty = pd.concat([pages[pages.url != u_nat],
+                       pd.DataFrame([stale, nat_a, nat_b])], ignore_index=True)
+    dirty_path = str(tmp_path / "dirty_ix_pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(dirty, schema=_SCHEMAS["pages"], preserve_index=False),
+        dirty_path,
+    )
+    dirty_corpus = dict(corpus, pages=dirty_path)
+
+    cfg = CrawlConfig(round_budget_s=1e9, dedup="index")
+    run = _run(spark, tmp_path / "dirty_ix", dirty_corpus, cfg)
+    oracle = crawl_oracle(
+        pd.read_parquet(dirty_path),
+        pd.read_parquet(corpus["robots"]),
+        pd.read_parquet(corpus["seeds"]),
+        cfg,
+    )
+    # per-round metric parity — n_fetched counts every frontier ENTRY
+    # (duplicates included), which only holds if resolution is per-row
+    eng_rounds = {}
+    for r in run.metrics_df().where(F.col("stage") == "round").collect():
+        eng_rounds.setdefault(r["round"], {})[r["key"]] = r["value"]
+    for o in oracle.metrics:
+        for k in ("n_in", "n_fetched", "n_new", "n_indexed", "n_missed", "n_failed"):
+            assert eng_rounds[o["round"]][k] == o[k], (o["round"], k)
+    # texts byte-identical, incl. the NaT pair resolved by md5
+    got_t = {r["url"]: r["index_text"] for r in run.texts_df().collect()}
+    assert set(got_t) == set(oracle.texts)
+    for url, b in oracle.texts.items():
+        assert got_t[url].encode("utf-8") == b
+    assert u_nat in got_t and "old snapshot" not in " ".join(got_t.values())
+
+    # the shuffled fallback agrees too
+    shuf = _run(
+        spark, tmp_path / "dirty_ix_shuf", dirty_corpus,
+        CrawlConfig(round_budget_s=1e9, dedup="index", broadcast_fetch_rows=0),
+    )
+    assert _snap(run) == _snap(shuf)

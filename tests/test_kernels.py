@@ -500,3 +500,29 @@ def test_av_codec_roundtrip_property(ch, rate, frames, n_vid, seed):
     w, h = 1 + seed % 5, 1 + (seed * 3) % 4
     vid = [test_pixels(w, h, 3, seed=seed + i) for i in range(n_vid)]
     assert decode_avi(encode_avi(w, h, vid)) == (w, h, n_vid, vid)
+
+
+def test_avi_hostile_headers_rejected_not_crashing():
+    """Hostile AVI inputs must surface None (fallback path), never an
+    exception out of the demuxer: absurd avih dims, zero dims, and
+    deeply-nested LIST chunks (recursion bomb)."""
+    import struct
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_avi,
+        encode_avi,
+        test_pixels,
+    )
+
+    blob = encode_avi(3, 2, [test_pixels(3, 2, 3, seed=1)])
+    for hostile_dim in (0, 0xFFFFFFFF, 0x80000000):
+        bad = bytearray(blob)
+        struct.pack_into("<I", bad, bad.find(b"avih") + 8 + 32, hostile_dim)  # dwWidth
+        assert decode_avi(bytes(bad)) is None, hex(hostile_dim)
+
+    # recursion bomb: 2000 nested LISTs inside a RIFF AVI shell
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    bomb = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert decode_avi(bomb) is None  # and no RecursionError

@@ -42,8 +42,17 @@ def messy_dir(tmp_path_factory):
     pq.write_table(pa.Table.from_pandas(docs), os.path.join(d, "documents.parquet"))
     emb = pd.DataFrame(
         {
-            "vec_id": [0, 1, 2, 3, 4],
-            "embedding": [[0.1] * 64, None, [0.0] * 64, [1.0] + [0.0] * 63, [-0.5] * 64],
+            "vec_id": [0, 1, 2, 3, 4, 5],
+            "embedding": [
+                [0.1] * 64,
+                None,  # NULL vector
+                [0.0] * 64,  # zero norm
+                [1.0] + [0.0] * 63,
+                [-0.5] * 64,
+                [1.0, None] + [0.0] * 62,  # NULL ELEMENT: DuckDB's
+                # list_sum skips NULLs while Spark's aggregate
+                # propagates them — both engines must drop this row
+            ],
         }
     )
     tb = pa.Table.from_pandas(
