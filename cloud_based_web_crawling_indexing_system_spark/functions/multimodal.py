@@ -92,6 +92,8 @@ def _decode_png(b: bytes) -> tuple[str, int, int, int] | None:
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None or w == 0 or h == 0:
         return None
+    if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+        return None  # >INT32_MAX dims (PNG spec caps at 2^31-1): hostile
     return "png", w, h, ch
 
 
@@ -108,6 +110,8 @@ def _decode_bmp(b: bytes) -> tuple[str, int, int, int] | None:
     else:
         return None
     if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    if abs(h) > 0x7FFFFFFF:  # h = INT32_MIN: |h| overflows Int32
         return None
     # height < 0 means top-down row order; magnitude is the height
     return "bmp", w, abs(h), max(1, bpp // 8)
@@ -178,6 +182,8 @@ def _decode_pnm(b: bytes) -> tuple[str, int, int, int] | None:
     w, h = fields[0], fields[1]
     if w <= 0 or h <= 0:
         return None
+    if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+        return None  # unbounded ASCII digit strings: reject > INT32_MAX
     return _PNM_NAMES[magic], w, h, _PNM_CHANNELS[magic]
 
 
@@ -223,6 +229,8 @@ def decode_wav(blob: bytes | None) -> tuple[int, int, int, int] | None:
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if not n_ch or not rate or not bits or data_len is None:
         return None
+    if rate > 0x7FFFFFFF:
+        return None  # <I sample_rate up to 2^32-1 would overflow Int32
     n_samples = data_len // (n_ch * (bits // 8)) if bits >= 8 else 0
     return n_ch, rate, bits, n_samples
 
@@ -324,9 +332,16 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
         return None
     if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
         return None  # hostile/corrupt avih dims — refuse like siblings
-    if declared is not None and declared != len(frames):
-        return None  # header/stream mismatch — refuse, don't guess
-    return width, height, len(frames), frames
+    # avih dwTotalFrames is ADVISORY (advisor r4): real uncompressed
+    # AVIs commonly carry 0 (streamed/unfinalized) or slightly-off
+    # counts — trust the actual movi chunk count, refusing only a
+    # nonzero declaration that is wildly inconsistent (>2x off either
+    # way), which signals a forged/corrupt header rather than an
+    # unfinalized file.
+    n = len(frames)
+    if declared and (declared > 2 * n or n > 2 * declared):
+        return None
+    return width, height, n, frames
 
 
 def _paeth(a: int, bb: int, c: int) -> int:

@@ -437,14 +437,21 @@ def test_avi_mux_demux_roundtrip_and_rejection():
     odd = [test_pixels(3, 3, 3, seed=i) for i in range(4)]
     assert decode_avi(encode_avi(3, 3, odd))[3] == odd
 
-    # rejections: WAV riff, garbage, truncation, frame-count mismatch
+    # rejections: WAV riff, garbage, truncation, WILD frame-count lie
     assert decode_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
     assert decode_avi(b"definitely not a container") is None
     assert decode_avi(blob[:30]) is None
     bad = bytearray(blob)
     struct.pack_into("<I", bad, bad.find(b"avih") + 8 + 16, 99)  # dwTotalFrames
-    assert decode_avi(bytes(bad)) is None
+    assert decode_avi(bytes(bad)) is None  # 99 declared vs 7 actual: forged
     assert decode_avi(None) is None and decode_avi(b"") is None
+
+    # advisory dwTotalFrames (advisor r4): 0 (streamed/unfinalized) and
+    # slightly-off counts must demux by trusting the actual movi chunks
+    for advisory in (0, 6, 8):
+        soft = bytearray(blob)
+        struct.pack_into("<I", soft, soft.find(b"avih") + 8 + 16, advisory)
+        assert decode_avi(bytes(soft)) == (4, 3, 7, frames), advisory
 
 
 @settings(max_examples=80, deadline=None)

@@ -249,6 +249,73 @@ def test_multimodal_decode_and_frames(spark):
     assert frames and all(f["frame_idx"] % 5 == 0 for f in frames)
 
 
+def test_oversized_header_values_surface_null_not_job_failure(spark):
+    """Advisor r4 (multimodal.py:518): hostile/corrupt payloads whose
+    HEADERS claim dims/rates beyond Int32 (PNG width 2^31+5 with a
+    re-fixed CRC, a 'P5 99999999999 3 255' PNM, a WAV sample_rate of
+    2^32-1) must surface NULL metadata rows from the production
+    mapInPandas stages — previously they raised TypeError in the
+    Int32 cast and failed the whole Spark job on one bad row."""
+    import struct
+    from binascii import crc32
+
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_meta,
+        decode_image,
+        decode_wav,
+        encode_png,
+        encode_wav,
+        test_pixels,
+    )
+
+    # PNG forging width = 2^31 + 5, CRC re-fixed so only the bound check
+    # can refuse it
+    png = bytearray(encode_png(3, 2, test_pixels(3, 2, 3), 3))
+    struct.pack_into(">I", png, 16, 2**31 + 5)
+    struct.pack_into(">I", png, 29, crc32(bytes(png[12:29])) & 0xFFFFFFFF)
+    forged_png = bytes(png)
+    forged_pnm = b"P5 99999999999 3 255\n" + b"\x00" * 16
+    wav = bytearray(encode_wav(1, 8000, test_pixels(4, 1, 2)))
+    struct.pack_into("<I", wav, 24, 0xFFFFFFFF)  # fmt sample_rate field
+    forged_wav = bytes(wav)
+
+    # kernel level: refused outright
+    assert decode_image(forged_png) is None
+    assert decode_image(forged_pnm) is None
+    assert decode_wav(forged_wav) is None
+
+    # Spark-stage level: NULL metadata alongside a healthy row, job OK
+    rows = [
+        (0, "image", encode_png(3, 2, test_pixels(3, 2, 3), 3), "image/png", "{}"),
+        (1, "image", forged_png, "image/png", "{}"),
+        (2, "image", forged_pnm, "image/x-portable-graymap", "{}"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert got[0]["fmt"] == "png" and got[0]["width"] == 3
+    for bad in (1, 2):
+        assert got[bad]["fmt"] is None and got[bad]["width"] is None
+        assert got[bad]["n_bytes"] > 0 and got[bad]["sha"] is not None
+
+    arows = [
+        (0, "audio", encode_wav(1, 8000, test_pixels(4, 1, 2)), "audio/wav", "{}"),
+        (1, "audio", forged_wav, "audio/wav", "{}"),
+    ]
+    amedia = spark.createDataFrame(
+        pd.DataFrame(arows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
+        schema=MEDIA_SCHEMA,
+    )
+    agot = {r["media_id"]: r for r in decode_audio_meta(amedia).collect()}
+    assert agot[0]["sample_rate"] == 8000
+    assert agot[1]["sample_rate"] is None and agot[1]["n_samples"] is None
+
+
 def test_stateful_host_stats_stream(spark, tiny_corpus, tmp_path):
     """applyInPandasWithState: per-host cumulative counts accumulate
     across triggers AND across query restarts (state store survives
