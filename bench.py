@@ -48,6 +48,7 @@ HEADLINE = [
     "q42_bpe_token_count",
     "q43_audio_decode_roundtrip",
     "q44_video_frame_sample",
+    "q45_mjpeg_frame_sample",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -533,3 +533,227 @@ def test_avi_hostile_headers_rejected_not_crashing():
         inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
     bomb = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     assert decode_avi(bomb) is None  # and no RecursionError
+
+
+# ---------------------------------------------------------------------
+# real-JPEG verification: an INDEPENDENT reference decoder (own zigzag
+# construction, own canonical-Huffman builder, own IDCT — deliberately
+# sharing no kernel with the encoder) inverts encode_jpeg's bitstream
+# back to pixels.  A shared-kernel bug (wrong zigzag, wrong Huffman
+# assignment, wrong DCT normalization) cannot pass this.
+# ---------------------------------------------------------------------
+
+
+def _ref_zigzag():
+    # independent construction: sort natural indices by (anti-diagonal,
+    # alternating row direction)
+    return sorted(
+        range(64),
+        key=lambda i: (i // 8 + i % 8,
+                       (i // 8) if (i // 8 + i % 8) % 2 else -(i // 8)),
+    )
+
+
+def _ref_huff(bits, syms):
+    # canonical assignment, T.81 Annex C, keyed (length, code)
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _RefBits:
+    def __init__(self, data):
+        self.d, self.pos = data, 0
+
+    def bit(self):
+        byte = self.d[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise AssertionError("invalid Huffman code in stream")
+
+
+def _ref_extend(v, size):
+    return v if v >= (1 << (size - 1)) or size == 0 else v - (1 << size) + 1
+
+
+def _ref_jpeg_decode(b):
+    """Minimal baseline-JPEG reference decoder for 4:4:4 non-subsampled
+    streams: returns (w, h, list-of-component numpy planes)."""
+    import struct as st
+
+    import numpy as np
+
+    zz = _ref_zigzag()
+    qt, dc_t, ac_t = {}, {}, {}
+    comps, scan = [], []
+    w = h = None
+    i = 2
+    assert b[:2] == b"\xff\xd8"
+    while i < len(b):
+        assert b[i] == 0xFF, hex(b[i])
+        m = b[i + 1]
+        (ln,) = st.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            assert seg[0] >> 4 == 0  # 8-bit precision
+            nat = [0] * 64
+            for k, v in enumerate(seg[1:65]):
+                nat[zz[k]] = v
+            qt[seg[0] & 15] = np.array(nat, dtype=np.float64).reshape(8, 8)
+        elif m == 0xC0:
+            assert seg[0] == 8
+            h, w = st.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            for k in range(nc):
+                assert seg[7 + 3 * k] == 0x11  # 4:4:4 only
+                comps.append((seg[6 + 3 * k], seg[8 + 3 * k]))
+        elif m == 0xC4:
+            tbl = _ref_huff(list(seg[1:17]), list(seg[17:]))
+            (dc_t if seg[0] >> 4 == 0 else ac_t)[seg[0] & 15] = tbl
+        elif m == 0xDA:
+            ns = seg[0]
+            for k in range(ns):
+                scan.append((seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15))
+            i += 2 + ln
+            break
+        i += 2 + ln
+    # unstuff entropy bytes up to EOI
+    data = bytearray()
+    while i < len(b):
+        if b[i] == 0xFF:
+            if b[i + 1] == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            break
+        data.append(b[i])
+        i += 1
+    assert b[i : i + 2] == b"\xff\xd9"
+
+    import math as m_
+
+    T = np.array(
+        [
+            [0.5 * (1 / m_.sqrt(2) if u == 0 else 1.0)
+             * m_.cos((2 * x + 1) * u * m_.pi / 16) for x in range(8)]
+            for u in range(8)
+        ]
+    )
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    br = _RefBits(bytes(data))
+    qmap = dict(comps)  # component id -> quant table id
+    preds = {cid: 0 for cid, _, _ in scan}
+    planes = {cid: np.zeros((nby * 8, nbx * 8)) for cid, _, _ in scan}
+    for by in range(nby):
+        for bx in range(nbx):
+            for cid, dci, aci in scan:
+                coefs = np.zeros(64)
+                size = br.symbol(dc_t[dci])
+                diff = _ref_extend(br.read(size), size) if size else 0
+                preds[cid] += diff
+                coefs[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = br.symbol(ac_t[aci])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 15
+                    coefs[zz[k]] = _ref_extend(br.read(size), size)
+                    k += 1
+                block = coefs.reshape(8, 8) * qt[qmap[cid]]
+                pix = T.T @ block @ T + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return w, h, [planes[cid][:h, :w] for cid, _, _ in scan]
+
+
+def test_jpeg_encoder_is_real_reference_decode_roundtrip():
+    """encode_jpeg's output decoded by the independent reference
+    decoder reconstructs the source pixels within quantization error —
+    proof the encoder emits a REAL baseline JPEG (DCT + quant +
+    Huffman), not just a plausible header."""
+    import numpy as np
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        encode_jpeg,
+    )
+
+    # smooth grayscale ramp (low-frequency energy -> tight quant bound)
+    w, h = 19, 13
+    src = bytes(min(255, 10 + 2 * x + 3 * y) for y in range(h) for x in range(w))
+    got_w, got_h, planes = _ref_jpeg_decode(encode_jpeg(w, h, src, 1))
+    assert (got_w, got_h) == (w, h) and len(planes) == 1
+    err = np.abs(planes[0] - np.frombuffer(src, dtype=np.uint8)
+                 .astype(np.float64).reshape(h, w))
+    assert err.max() <= 12 and err.mean() <= 4, (err.max(), err.mean())
+
+    # color: reconstruct RGB through the inverse YCbCr transform
+    w, h = 16, 8
+    rgb = bytes(
+        min(255, v)
+        for y in range(h)
+        for x in range(w)
+        for v in (20 + 3 * x, 40 + 2 * y, 90 + x + y)
+    )
+    got_w, got_h, planes = _ref_jpeg_decode(encode_jpeg(w, h, rgb, 3))
+    assert (got_w, got_h) == (w, h) and len(planes) == 3
+    Y, Cb, Cr = planes
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B = Y + 1.772 * (Cb - 128.0)
+    src = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64).reshape(h, w, 3)
+    recon = np.stack([R, G, B], axis=-1)
+    err = np.abs(recon - src)
+    assert err.max() <= 40 and err.mean() <= 8, (err.max(), err.mean())
+
+
+def test_mjpeg_avi_mux_demux_frames_parse_as_jpegs():
+    """MJPEG-in-AVI: '00dc' movi chunks hold complete JPEGs; demux
+    returns them byte-exactly and each frame's SOF carries its dims."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        _decode_jpeg,
+        decode_avi,
+        encode_avi,
+        encode_jpeg,
+        test_pixels,
+    )
+
+    frames = [encode_jpeg(10, 6, test_pixels(10, 6, 3, seed=i), 3) for i in range(6)]
+    blob = encode_avi(10, 6, frames, fps=12, codec="MJPG")
+    got = decode_avi(blob)
+    assert got is not None
+    w, h, n, out = got
+    assert (w, h, n) == (10, 6, 6) and out == frames
+    for f in out:
+        assert _decode_jpeg(f) == ("jpeg", 10, 6, 3)
+
+    # non-JPEG payloads must be refused by the MJPG muxer
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_avi(4, 4, [b"not a jpeg"], codec="MJPG")
+    with pytest.raises(ValueError):
+        encode_avi(4, 4, [], codec="H264")

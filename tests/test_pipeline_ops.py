@@ -249,6 +249,53 @@ def test_multimodal_decode_and_frames(spark):
     assert frames and all(f["frame_idx"] % 5 == 0 for f in frames)
 
 
+def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
+    """One corpus, three codec paths: DIB AVI (demuxed, container
+    dims), MJPEG AVI (demuxed, dims from each frame's OWN SOF), and a
+    non-AVI payload (byte-slice fallback, demuxed=false, NULL dims)."""
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        encode_jpeg,
+        frame_sample,
+        test_pixels,
+    )
+
+    dib = encode_avi(4, 3, [test_pixels(4, 3, 3, seed=i) for i in range(6)])
+    mj_frames = [encode_jpeg(9, 5, test_pixels(9, 5, 3, seed=i), 3) for i in range(6)]
+    mjpg = encode_avi(9, 5, mj_frames, fps=8, codec="MJPG")
+    rows = [
+        (0, "video", dib, "video/x-msvideo", "{}"),
+        (1, "video", mjpg, "video/x-msvideo", "{}"),
+        (2, "video", b"mp4-ish opaque payload " * 20, "video/mp4", "{}"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = frame_sample(media, every_n=2).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[0]) == 3 and all(
+        r["demuxed"] and (r["width"], r["height"]) == (4, 3) for r in by_id[0]
+    )
+    assert len(by_id[1]) == 3 and all(
+        r["demuxed"] and (r["width"], r["height"]) == (9, 5) for r in by_id[1]
+    )
+    import hashlib
+
+    # MJPEG frame shas are over the exact JPEG bytes the muxer wrote
+    assert {r["frame_sha"] for r in by_id[1]} == {
+        hashlib.sha256(mj_frames[i]).hexdigest() for i in (0, 2, 4)
+    }
+    assert all(
+        not r["demuxed"] and r["width"] is None for r in by_id[2]
+    ) and len(by_id[2]) >= 1
+
+
 def test_oversized_header_values_surface_null_not_job_failure(spark):
     """Advisor r4 (multimodal.py:518): hostile/corrupt payloads whose
     HEADERS claim dims/rates beyond Int32 (PNG width 2^31+5 with a
