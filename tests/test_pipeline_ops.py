@@ -523,3 +523,40 @@ def test_frame_sample_real_avi_demux(spark):
         not r["demuxed"] and r["width"] is None for r in fallback
     )
     assert not [r for r in got if r["media_id"] == 3]  # non-video kind skipped
+
+
+def test_percentile_approx_error_bound(spark):
+    """q47's production claim, pinned: a LOW-accuracy sketch's answer
+    sits within +/- N/accuracy ranks of the exact quantile (the GK
+    guarantee percentile_approx documents), measured on a 20k-value
+    skewed column.  q47 itself runs at accuracy >> N so it is exact
+    through the driver gate; this test is the documented error bound
+    for the regime where the sketch actually compresses."""
+    import math
+    from bisect import bisect_left, bisect_right
+
+    n, acc = 20_000, 50
+    df = spark.range(n).selectExpr("CAST(id * id % 7919 AS LONG) AS v")
+    vals = sorted(r[0] for r in df.collect())  # test-only exact baseline
+    got = df.agg(F.percentile_approx("v", [0.5, 0.9, 0.99], acc)).first()[0]
+    for p, g in zip([0.5, 0.9, 0.99], got):
+        target = math.ceil(p * n)
+        tol = n / acc + 1
+        lo, hi = bisect_left(vals, g) + 1, bisect_right(vals, g)
+        # rank interval of the returned value must overlap the target
+        # rank within the guaranteed tolerance
+        assert lo - tol <= target <= hi + tol, (p, g, lo, hi, target)
+
+
+def test_q47_equals_q39_exact_route(spark):
+    """Route equality engine-side too (not only through the oracle):
+    the approx plan at high accuracy reproduces the exact window
+    plan's values on the sf fixture."""
+    from cloud_based_web_crawling_indexing_system_spark.plans import probes
+
+    reg = probes.registry()
+    a = {tuple(sorted(r.asDict().items()))
+         for r in reg["q39_token_len_quantiles"](spark, SF).collect()}
+    b = {tuple(sorted(r.asDict().items()))
+         for r in reg["q47_token_len_quantiles_approx"](spark, SF).collect()}
+    assert a == b
