@@ -49,6 +49,8 @@ HEADLINE = [
     "q43_audio_decode_roundtrip",
     "q44_video_frame_sample",
     "q45_mjpeg_frame_sample",
+    "q46_bpe_token_count_vectorized",
+    "q47_token_len_quantiles_approx",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -168,30 +170,57 @@ def main() -> None:
     first_times["crawl_e2e"] = times["crawl_e2e"]  # one run: warmed, see bench_crawl
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_crawl_e2e",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_first": first_times,
-                "runs": all_runs,
-                "protocol": {
-                    "repeats": REPEATS,
-                    "queries_sec": "min-of-repeats (steady-state)",
-                    "queries_first_sec": "first call (plan+codegen compile included)",
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl": crawl,
-                "calibration": {
-                    "jvm_hash_30m_sec": jvm_calib,
-                    "jvm_hash_30m_sec_post": jvm_calib_post,
-                    "py_termfreq_40x_sec": py_calib,
-                },
-            }
-        )
-    )
+    calibration = {
+        "jvm_hash_30m_sec": jvm_calib,
+        "jvm_hash_30m_sec_post": jvm_calib_post,
+        "py_termfreq_40x_sec": py_calib,
+    }
+    # ratio-to-control column (judge r4 #6): each query's min-wall over
+    # the q01 min-wall — a VM-speed-invariant number for round-over-
+    # round comparison (both numerator and denominator ran in the same
+    # ambient window)
+    control = times.get("q01_pricing_summary") or 1.0
+    ratios = {k: round(v / control, 3) for k, v in times.items()}
+    full = {
+        "metric": "headline_queries_plus_crawl_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_first": first_times,
+        "runs": all_runs,
+        "ratio_to_q01": ratios,
+        "protocol": {
+            "repeats": REPEATS,
+            "queries_sec": "min-of-repeats (steady-state)",
+            "queries_first_sec": "first call (plan+codegen compile included)",
+            "ratio_to_q01": "min-wall / q01 min-wall (VM-speed-invariant)",
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "calibration": calibration,
+    }
+    full_path = os.path.join(REPO, "BENCH", "BENCH_full_latest.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    # the FINAL stdout line must fit the driver's 2000-char tail window
+    # or it records "parsed": null (judge r4 #6) — keep it compact and
+    # point at the full payload on disk
+    compact = {
+        "metric": "headline_queries_plus_crawl_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": full["sf"],
+        "crawl": {k: crawl[k] for k in ("sec", "urls_per_sec", "urls_fetched")},
+        "calibration": calibration,
+        "full": "BENCH/BENCH_full_latest.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # drop per-query detail before overflowing
+        compact["queries"] = {"total_only": total}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

