@@ -161,6 +161,32 @@ def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
         assert marker not in plan
 
 
+def test_r5_sibling_probe_plan_shapes(spark):
+    """Round-5 scale siblings keep the shapes their docstrings claim:
+
+    - q45 (MJPEG demux): beyond the one fixture-generation repartition
+      + the final per-doc agg, the mux->demux chain is narrow Arrow
+      stages — no other Exchange;
+    - q46 (production BPE): exactly one Arrow-batched Python stage
+      (the merge-loop UDF), no row-at-a-time eval;
+    - q47 (approx quantiles): ONE aggregation, NO window, NO
+      row_number — the whole point vs q39's exact window route."""
+    plan = _plan(probes.registry()["q45_mjpeg_frame_sample"](spark, SF))
+    assert plan.count("Exchange") <= 2  # id repartition + final agg
+    assert plan.count("MapInPandas") == 2  # encode stage + frame_sample
+
+    plan = _plan(probes.registry()["q46_bpe_token_count_vectorized"](spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+    plan = _plan(probes.registry()["q47_token_len_quantiles_approx"](spark, SF))
+    assert "Window" not in plan and "row_number" not in plan
+    assert "percentile_approx" in plan
+    # q39 (the exact baseline) DOES carry the window — the contrast is
+    # the documented crossover
+    assert "Window" in _plan(probes.registry()["q39_token_len_quantiles"](spark, SF))
+
+
 def test_search_term_filter_reaches_parquet_scan(spark, tmp_path):
     """A4 at scale: the search's literal term-IN predicate must land in
     the postings parquet scan's DataFilters (the broadcast semi-join
