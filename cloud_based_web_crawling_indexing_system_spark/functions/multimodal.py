@@ -321,11 +321,15 @@ def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
-    """Real AVI demux: returns ``(width, height, n_frames, frames)``
-    for uncompressed-video AVIs ('00db'/'00dc' movi chunks), or None
-    when the payload is not an AVI.  Chunk-walks the RIFF tree like a
-    real reader — header and movi lists may sit anywhere."""
+def decode_avi(
+    blob: bytes | None,
+) -> tuple[int, int, int, list[bytes], str] | None:
+    """Real AVI demux: returns ``(width, height, n_frames, frames,
+    codec)`` — codec ``'MJPG'`` or ``'DIB'`` from strf biCompression —
+    for video AVIs ('00db'/'00dc' movi chunks), or None when the
+    payload is not an AVI (or is truncated/forged).  Chunk-walks the
+    RIFF tree like a real reader — header and movi lists may sit
+    anywhere."""
     if not blob:
         return None
     b = bytes(blob)
@@ -333,10 +337,12 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
         return None
     width = height = None
     declared = None
+    compression = 0
+    truncated = False
     frames: list[bytes] = []
 
     def walk(start: int, end: int, depth: int = 0) -> None:
-        nonlocal width, height, declared
+        nonlocal width, height, declared, compression, truncated
         if depth > 16:
             return  # hostile nesting (real AVIs nest ~3 deep) — stop
         i = start
@@ -349,14 +355,26 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
             elif cid == b"avih" and body_end - body_start >= 40:
                 vals = struct.unpack("<10I", b[body_start : body_start + 40])
                 declared, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strf" and body_end - body_start >= 20:
+                # BITMAPINFOHEADER.biCompression is the authoritative
+                # codec signal; threaded to the caller so only MJPG
+                # frames get SOF-sniffed (review r5: a raw DIB frame
+                # whose bytes happen to parse as a JPEG must not
+                # report the embedded JPEG's dims)
+                (compression,) = struct.unpack("<I", b[body_start + 16 : body_start + 20])
             elif cid in (b"00db", b"00dc"):
                 if body_start + clen > end:
-                    return  # truncated frame chunk — stop, caller refuses
+                    truncated = True  # frame chunk runs past the blob
+                    return
                 frames.append(b[body_start:body_end])
             i = body_start + clen + (clen & 1)
 
     walk(12, min(8 + struct.unpack("<I", b[4:8])[0], len(b)))
-    if width is None or not frames:
+    if width is None or not frames or truncated:
+        # review r5: a truncated movi chunk is refused OUTRIGHT — the
+        # advisory dwTotalFrames tolerance below must never launder a
+        # blob that demonstrably lost frame bytes into a "successful"
+        # demux of half a video
         return None
     if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
         return None  # hostile/corrupt avih dims — refuse like siblings
@@ -369,7 +387,8 @@ def decode_avi(blob: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
     n = len(frames)
     if declared and (declared > 2 * n or n > 2 * declared):
         return None
-    return width, height, n, frames
+    codec = "MJPG" if compression == struct.unpack("<I", b"MJPG")[0] else "DIB"
+    return width, height, n, frames, codec
 
 
 # ---------------------------------------------------------------------
@@ -852,11 +871,17 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                 b = bytes(blob)
                 avi = decode_avi(b)
                 if avi is not None:
-                    w, h, n_frames, frames = avi
+                    w, h, n_frames, frames, codec = avi
                     for i in range(0, n_frames, every_n):
                         frame = frames[i]
-                        jf = _decode_jpeg(frame)  # MJPEG: dims from SOF
-                        fw, fh = (jf[1], jf[2]) if jf is not None else (w, h)
+                        fw, fh = w, h
+                        if codec == "MJPG":
+                            # dims from THIS frame's SOF; raw DIB
+                            # frames are never SOF-sniffed (their bytes
+                            # could coincidentally parse as a JPEG)
+                            jf = _decode_jpeg(frame)
+                            if jf is not None:
+                                fw, fh = jf[1], jf[2]
                         ids.append(mid)
                         idxs.append(i)
                         shas.append(hashlib.sha256(frame).hexdigest())

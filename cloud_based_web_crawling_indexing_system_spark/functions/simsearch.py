@@ -273,7 +273,11 @@ def ivf_centroids_kmeans(
     nonzero = embeddings.where(_dot(vec_col, vec_col) > 0)
     first = nonzero.orderBy(id_col).limit(1).select(vec_col).collect()
     if not first:
-        return []
+        # degenerate corpus (no nonzero vectors): fall back to the
+        # first-k route's behavior instead of returning an empty
+        # centroid list that would crash ivf_assign downstream
+        # (review r5) — results degrade the same way first-k does
+        return ivf_centroids(embeddings, n_cells, id_col, vec_col)
     cents = [[float(x) for x in first[0][0]]]
     while len(cents) < n_cells:
         dists = [(1.0 - _cos_lit(vec_col, c)) for c in cents]
@@ -295,8 +299,16 @@ def ivf_centroids_kmeans(
         rows = assigned.groupBy("cell").agg(*aggs).collect()
         new = [list(c) for c in cents]
         for r in rows:
-            if r["n"]:
-                new[r["cell"]] = [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)]
+            if not r["n"]:
+                continue
+            vals = [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)]
+            # a mean that cancels to the exact zero vector (e.g. a cell
+            # capturing v and -v) would make _cos_lit divide by sqrt(0)
+            # -> NaN, and Spark ranks NaN above every double, so
+            # ivf_assign would funnel the ENTIRE corpus into that one
+            # cell (review r5).  Keep the previous centroid instead.
+            if any(v != 0.0 for v in vals):
+                new[r["cell"]] = vals
         cents = new
     return cents
 

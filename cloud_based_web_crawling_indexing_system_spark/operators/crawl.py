@@ -61,6 +61,11 @@ FRONTIER_COLS = ["job_id", "url", "url_hash", "host", "host_hash", "depth", "tri
 # groupBy('job_id') over the cached parse output
 JOB_OBS_MAX = 64
 
+# session-conf key recording that the small-round policy turned AQE
+# off and what to restore it to — survives CrawlRun instances so a
+# crashed round's leak is undone by whoever steps next on the session
+_AQE_SAVED_KEY = "spark.cbwcis.aqeSaved"
+
 _METRICS_SCHEMA = (
     "round int, partition_id int, stage string, key string, value long, job_id string"
 )
@@ -142,7 +147,6 @@ class CrawlRun:
         self._job_ids: list[str] = []
         self._max_delay: float = self.cfg.default_delay
         self._bloom: BloomSeen | None = None
-        self._aqe_saved: str | None = None
 
     # -- setup -------------------------------------------------------------
 
@@ -546,7 +550,11 @@ class CrawlRun:
             n_in < cfg.aqe_small_round_rows
             and self.spark.conf.get("spark.sql.adaptive.enabled") == "true"
         ):
-            self._aqe_saved = "true"
+            # the saved flag lives in the SESSION conf, not on this
+            # instance (review r5): a crashed round resumed by a NEW
+            # CrawlRun on the same session must still know AQE-off is
+            # a leak to undo, not an operator choice
+            self.spark.conf.set(_AQE_SAVED_KEY, "true")
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         f = self.frontier.read_round(r).drop("round")
         # robots gate + politeness budget — broadcast join on host (J3)
@@ -1052,9 +1060,10 @@ class CrawlRun:
         return out
 
     def _aqe_restore(self) -> None:
-        if self._aqe_saved is not None:
-            self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe_saved)
-            self._aqe_saved = None
+        saved = self.spark.conf.get(_AQE_SAVED_KEY, None)
+        if saved is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", saved)
+            self.spark.conf.unset(_AQE_SAVED_KEY)
 
     def _write_metrics(self, r: int, rows: list[tuple]) -> None:
         """Metrics are ~dozens of rows — written driver-side with

@@ -431,7 +431,7 @@ def test_avi_mux_demux_roundtrip_and_rejection():
 
     frames = [test_pixels(4, 3, 3, seed=i) for i in range(7)]
     blob = encode_avi(4, 3, frames, fps=5)
-    assert decode_avi(blob) == (4, 3, 7, frames)  # byte-exact frames
+    assert decode_avi(blob) == (4, 3, 7, frames, "DIB")  # byte-exact frames
 
     # odd-sized frames get RIFF pad bytes that must not leak into data
     odd = [test_pixels(3, 3, 3, seed=i) for i in range(4)]
@@ -451,7 +451,7 @@ def test_avi_mux_demux_roundtrip_and_rejection():
     for advisory in (0, 6, 8):
         soft = bytearray(blob)
         struct.pack_into("<I", soft, soft.find(b"avih") + 8 + 16, advisory)
-        assert decode_avi(bytes(soft)) == (4, 3, 7, frames), advisory
+        assert decode_avi(bytes(soft)) == (4, 3, 7, frames, "DIB"), advisory
 
 
 @settings(max_examples=80, deadline=None)
@@ -506,7 +506,7 @@ def test_av_codec_roundtrip_property(ch, rate, frames, n_vid, seed):
     assert decode_wav(encode_wav(ch, rate, pcm)) == (ch, rate, 16, frames)
     w, h = 1 + seed % 5, 1 + (seed * 3) % 4
     vid = [test_pixels(w, h, 3, seed=seed + i) for i in range(n_vid)]
-    assert decode_avi(encode_avi(w, h, vid)) == (w, h, n_vid, vid)
+    assert decode_avi(encode_avi(w, h, vid)) == (w, h, n_vid, vid, "DIB")
 
 
 def test_avi_hostile_headers_rejected_not_crashing():
@@ -745,8 +745,8 @@ def test_mjpeg_avi_mux_demux_frames_parse_as_jpegs():
     blob = encode_avi(10, 6, frames, fps=12, codec="MJPG")
     got = decode_avi(blob)
     assert got is not None
-    w, h, n, out = got
-    assert (w, h, n) == (10, 6, 6) and out == frames
+    w, h, n, out, codec = got
+    assert (w, h, n, codec) == (10, 6, 6, "MJPG") and out == frames
     for f in out:
         assert _decode_jpeg(f) == ("jpeg", 10, 6, 3)
 
@@ -894,3 +894,39 @@ def test_htmltext_misnesting_golden_corpus():
         "http://h.example/t1", "http://h.example/v",
     ]
     assert "ghost" not in by_name["unclosed_template"]["crawl"]
+
+
+def test_avi_truncation_refused_and_dib_frames_never_sof_sniffed():
+    """Review r5 pins: (a) a blob that demonstrably lost frame bytes
+    (movi chunk runs past the end) is refused outright — the advisory
+    dwTotalFrames tolerance must not launder half a video into a
+    'successful' demux; (b) an uncompressed DIB frame whose raw bytes
+    happen to be a parseable JPEG keeps the CONTAINER dims — only
+    MJPG-codec frames get SOF-sniffed."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_avi,
+        encode_avi,
+        encode_jpeg,
+        test_pixels,
+    )
+
+    frames = [test_pixels(4, 3, 3, seed=i) for i in range(10)]
+    blob = encode_avi(4, 3, frames, fps=5)
+    # cut mid-movi: several whole frames lost, chunk header intact
+    cut = blob[: len(blob) - 3 * (4 * 3 * 3 + 8) - 5]
+    assert decode_avi(cut) is None
+
+    # a DIB AVI whose frame payload IS a JPEG (padded to frame size):
+    # codec says DIB, so the demux keeps container dims
+    j = encode_jpeg(2, 2, test_pixels(2, 2, 3, seed=9), 3)
+    fsize = 16 * 16 * 3
+    trojan = j + b"\x00" * (fsize - len(j))
+    assert len(trojan) == fsize
+    got = decode_avi(encode_avi(16, 16, [trojan], fps=5))
+    assert got is not None and got[4] == "DIB"
+    # and the Spark-side sampler reports 16x16, not the embedded 2x2
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        _decode_jpeg,
+    )
+
+    assert _decode_jpeg(trojan) is not None  # the bytes DO parse as JPEG

@@ -285,3 +285,32 @@ def test_resume_past_absolute_round_ceiling(spark, micro_corpus, tmp_path):
     cont = CrawlRun(spark, str(tmp_path / "ceil"))
     more = cont.run(max_rounds=3)
     assert len(more) == 1 and cont.metrics.last_round() == 2
+
+
+def test_aqe_leak_restored_by_new_crawlrun_instance(spark, tiny_corpus, tmp_path):
+    """Review r5: the small-round AQE-off flag lives in the SESSION
+    conf, so a round that crashes after disabling AQE and is resumed
+    by a brand-new CrawlRun on the same session still restores
+    adaptive execution (a per-instance flag would leak AQE-off for
+    the rest of the session)."""
+    from cloud_based_web_crawling_indexing_system_spark.operators.crawl import (
+        _AQE_SAVED_KEY,
+        CrawlRun,
+    )
+    from cloud_based_web_crawling_indexing_system_spark.oracle import CrawlConfig
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # simulate the crashed-round leak: policy flags saved state, AQE off
+    spark.conf.set(_AQE_SAVED_KEY, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    wd = str(tmp_path / "aqe_leak_run")
+    run = CrawlRun(spark, wd, CrawlConfig(max_rounds=1, round_budget_s=1e9))
+    run.init(
+        tiny_corpus["pages"],
+        spark.read.parquet(tiny_corpus["robots"]),
+        spark.read.parquet(tiny_corpus["seeds"]),
+    )
+    run.step()  # a NEW instance's next step restores before disabling
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_AQE_SAVED_KEY, None) is None
