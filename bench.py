@@ -51,6 +51,7 @@ HEADLINE = [
     "q45_mjpeg_frame_sample",
     "q46_bpe_token_count_vectorized",
     "q47_token_len_quantiles_approx",
+    "q51_lang_id_confusion_catalyst",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

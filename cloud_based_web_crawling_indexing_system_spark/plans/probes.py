@@ -1735,6 +1735,72 @@ def q36(spark, sf_dir):
     )
 
 
+@probe("q51_lang_id_confusion_catalyst", _lang_sql())
+def q51(spark, sf_dir):
+    """Catalyst scale sibling of q36 (the q27->q38 pattern, Python
+    side out of the loop entirely): the SAME script-vote + marker-vote
+    heuristic as whole-stage-codegen'd JVM expressions — regexp char
+    counts over the first 2000 chars, `filter(tokens, IN marker-set)`
+    sizes, and the exact CASE cascade the oracle encodes.  Shares
+    q36's generated oracle verbatim, so the hash match proves the two
+    routes AND the oracle agree triple-way.  Documented regime: like
+    the oracle, this route counts `[A-Za-z]` / Java's ASCII `\\w` —
+    exact on ASCII corpora (the driver testdata, verified); the
+    pandas-UDF route (q36) is the full-Unicode implementation the
+    crawl fixture pytest exercises on zh/ar text."""
+    from ..functions.quality import _MARKERS
+
+    d = _t(spark, sf_dir, "documents")
+    s2 = F.substring(F.col("text"), 1, 2000)
+
+    def ccount(cls: str):
+        return F.length(s2) - F.length(F.regexp_replace(s2, cls, ""))
+
+    t4 = "regexp_extract_all(lower(substr(text, 1, 4000)), '\\\\w+', 0)"
+
+    def score(lang: str):
+        lst = ",".join(
+            "'" + w.replace("'", "''") + "'" for w in sorted(_MARKERS[lang])
+        )
+        return F.expr(f"size(filter({t4}, x -> x IN ({lst})))")
+
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        ccount(r"[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]").alias("cjk"),
+        ccount(r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}]").alias("arab"),
+        ccount("[A-Za-z]").alias("latin"),
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+    )
+    predicted = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(F.col("text") == "", F.lit("und"))
+        .when((F.col("cjk") > 3) & (F.col("cjk") * 10 >= F.col("latin")), F.lit("zh"))
+        .when((F.col("arab") > 3) & (F.col("arab") * 10 >= F.col("latin")), F.lit("ar"))
+        # marker vote: first lang in (en, es, de, fr) insertion order
+        # attaining the strict running max, 'en' when all zero — the
+        # same cascade as quality.lang_id's 'if score > best' loop
+        .when(
+            (F.col("s_fr") > F.col("s_en"))
+            & (F.col("s_fr") > F.col("s_es"))
+            & (F.col("s_fr") > F.col("s_de")),
+            F.lit("fr"),
+        )
+        .when((F.col("s_de") > F.col("s_en")) & (F.col("s_de") > F.col("s_es")), F.lit("de"))
+        .when(F.col("s_es") > F.col("s_en"), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return (
+        feats.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 _Q37_TAU = 4  # shingle document-frequency cap
 
 

@@ -930,3 +930,44 @@ def test_avi_truncation_refused_and_dib_frames_never_sof_sniffed():
     )
 
     assert _decode_jpeg(trojan) is not None  # the bytes DO parse as JPEG
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_jpeg_encoder_reference_decode_property(w, h, ch, seed):
+    """Property form of the reference-decoder roundtrip: for ANY dims
+    and deterministic content, the independent decoder must (a) parse
+    the stream to completion with the declared dims, and (b) for
+    SMOOTH content reconstruct within quantization error.  Sharp
+    mod-256 content only gets the structural guarantee (DCT ringing
+    makes pixel bounds meaningless there)."""
+    import numpy as np
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        encode_jpeg,
+        test_pixels,
+    )
+
+    # structural: arbitrary (wrapping) content decodes cleanly
+    sharp = test_pixels(w, h, ch, seed=seed)
+    gw, gh, planes = _ref_jpeg_decode(encode_jpeg(w, h, sharp, ch))
+    assert (gw, gh, len(planes)) == (w, h, ch)
+    assert all(p.shape == (h, w) for p in planes)
+
+    # reconstruction: smooth gradient derived from the same seed
+    smooth = bytes(
+        min(255, (seed % 50) + 2 * x + 3 * y)
+        for y in range(h)
+        for x in range(w)
+        for _ in range(1)
+    )
+    if ch == 1:
+        gw, gh, planes = _ref_jpeg_decode(encode_jpeg(w, h, smooth, 1))
+        src = np.frombuffer(smooth, dtype=np.uint8).astype(np.float64).reshape(h, w)
+        err = np.abs(planes[0] - src)
+        assert err.max() <= 14, (w, h, seed, err.max())
