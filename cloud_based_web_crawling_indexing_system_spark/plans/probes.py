@@ -1920,6 +1920,25 @@ def q50(spark, sf_dir):
     )
 
 
+@probe("q52_pq_adc_topk")  # rows-only: PQ training is iterative
+# k-means, not SQL-expressible; recall floors (0.6 worst-case random /
+# 0.9 clustered), 64x-compression shape, and codebook partition-
+# invariance are pinned in tests/test_pipeline_ops.py
+def q52(spark, sf_dir):
+    """Product-quantization ANN through the driver surface: train m
+    deterministic L2 codebooks, encode the corpus to m small codes
+    (the 64x-compression memory-bound scan), ADC-candidate + exact
+    re-rank top-k.  The FAISS-PQ shape as DataFrame ops; the driver
+    records rows + schema."""
+    from ..functions.simsearch import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=5, m=4, n_codes=8, buffer=8).select(
+        "query_id", "neighbor_id", F.round("l2_dist", 6).alias("l2_dist"), "rk"
+    )
+
+
 def _stream_dirs(spark, sf_dir: str, dup_mod: int | None, tag: str) -> tuple[str, str, str]:
     """(src, sink, ckpt) dirs for a streaming probe.  Bounded /tmp
     footprint (review r5): the derived source corpus is written ONCE

@@ -595,3 +595,83 @@ def test_q47_equals_q39_exact_route(spark):
     b = {tuple(sorted(r.asDict().items()))
          for r in reg["q47_token_len_quantiles_approx"](spark, SF).collect()}
     assert a == b
+
+
+def test_pq_adc_recall_compression_and_determinism(spark):
+    """Product-quantization ANN (the memory-bound route): 64x
+    compression (512-byte float64 vector -> m=8 uint8 codes), ADC
+    candidate generation + exact re-rank, deterministic codebooks.
+
+    Floors: on the uniform-random fixture (PQ's worst case — no
+    subspace structure) final recall@10 >= 0.6 at buffer 8; on the
+    clustered corpus (the realistic embedding shape) recall@5 >= 0.9
+    at the same settings.  Codebooks are identical under 1/7-way
+    repartitioning (integer-scaled Lloyd's means), and the exact
+    re-rank means every returned distance is a TRUE L2 distance."""
+    from pyspark.sql import Window
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.where(F.col("vec_id") < 5)
+
+    def exact_l2(embeddings, queries, k):
+        qd = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        pairs = embeddings.crossJoin(F.broadcast(qd)).where(F.col("vec_id") != F.col("query_id"))
+        d = F.expr(
+            "aggregate(zip_with(embedding, qv, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0.0 AS DOUBLE), (a,v) -> a+v)"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in pairs.withColumn("d", d)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        }
+
+    ex = exact_l2(emb, q, 10)
+    got = pq_topk(emb, q, k=10, m=8, n_codes=16, buffer=8).collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall  # worst-case fixture floor (measured 0.76)
+    # exact re-rank: distances are true L2 values, ranks consistent
+    assert all(r["l2_dist"] >= 0 for r in got)
+
+    # clustered corpus (the IVF test's shape): PQ captures per-subspace
+    # cluster structure, recall floor much higher
+    DIM, C, M = 16, 4, 20
+
+    def vec(c, j):
+        v = [0.0] * DIM
+        v[c] = 1.0
+        v[(c * 7 + j) % DIM] += 0.05 + 0.01 * j
+        v[(c * 3 + 2 * j) % DIM] += 0.03
+        return v
+
+    rows = [
+        {"vec_id": c * M + j, "embedding": vec(c, j)} for c in range(C) for j in range(M)
+    ]
+    clustered = spark.createDataFrame(
+        pd.DataFrame(rows), "vec_id long, embedding array<double>"
+    )
+    cq = clustered.where(F.col("vec_id") % 17 == 0)
+    exc = exact_l2(clustered, cq, 5)
+    apc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(clustered, cq, k=5, m=4, n_codes=8, buffer=8, dim=DIM).collect()
+    }
+    rc = len(exc & apc) / len(exc)
+    assert rc >= 0.9, rc
+
+    # determinism: codebooks invariant under partitioning
+    b1 = pq_train(emb.repartition(1), m=4, k=8, dim=64)
+    b7 = pq_train(emb.repartition(7, "vec_id"), m=4, k=8, dim=64)
+    assert b1 == b7
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
