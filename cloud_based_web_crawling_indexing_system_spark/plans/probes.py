@@ -1939,6 +1939,99 @@ def q52(spark, sf_dir):
     )
 
 
+_CC_ITERS = 8
+
+
+def _cc_oracle() -> str:
+    """q53 oracle: the SAME two star-edge relations (exact content
+    hash, simhash16) and EXACTLY _CC_ITERS unrolled hash-min steps —
+    equality with the engine holds step-for-step whether or not the
+    graph has converged; a pytest separately pins that _CC_ITERS
+    reaches the fixpoint on the fixture."""
+    # every step references its predecessor TWICE — DuckDB inlines
+    # CTEs by default, which would expand the tree 2^iters times and
+    # recompute the tokenization under every leaf (the oracle-side
+    # twin of the lineage explosion localCheckpoint truncates on the
+    # Spark side) — AS MATERIALIZED forces one evaluation per step
+    steps = ["l0 AS MATERIALIZED (SELECT v, v AS lbl FROM n0)"]
+    for i in range(1, _CC_ITERS + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT p.v, MIN(LEAST(p.lbl, COALESCE(q.lbl, p.lbl))) AS lbl
+      FROM l{i - 1} p LEFT JOIN sym e ON e.a = p.v LEFT JOIN l{i - 1} q ON q.v = e.b
+      GROUP BY p.v)"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    {_TOKS_CTE},
+    norm AS (
+      SELECT doc_id,
+             coalesce(array_to_string(list_filter(
+                 regexp_extract_all(lower(coalesce(text, '')), '\\w+'),
+                 t -> t <> 'dup'), ' '), '') AS norm_text
+      FROM documents),
+    hkey AS (SELECT doc_id, md5(norm_text) AS k FROM norm),
+    e1 AS (SELECT h.doc_id AS src, m.r AS dst
+           FROM hkey h JOIN (SELECT k, MIN(doc_id) AS r FROM hkey GROUP BY k) m
+             ON h.k = m.k
+           WHERE h.doc_id <> m.r),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    bits AS (SELECT doc_id, {_SIMHASH_SELECT} FROM terms GROUP BY doc_id),
+    skey AS (SELECT doc_id, CAST({_SIMHASH_COMBINE} AS INT) AS k FROM bits),
+    e2 AS (SELECT s.doc_id AS src, m.r AS dst
+           FROM skey s JOIN (SELECT k, MIN(doc_id) AS r FROM skey GROUP BY k) m
+             ON s.k = m.k
+           WHERE s.doc_id <> m.r),
+    edges AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),
+    sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst AS a, src AS b FROM edges),
+    n0 AS (SELECT DISTINCT a AS v FROM sym),
+    {chain}
+    SELECT lbl AS component, COUNT(*) AS n_members,
+           MIN(v) AS min_member, MAX(v) AS max_member
+    FROM l{_CC_ITERS} GROUP BY lbl
+    """
+
+
+@probe("q53_dedup_components", _cc_oracle())
+def q53(spark, sf_dir):
+    """Distributed connected components over the near-dup relation
+    graph — the survivor-selection step of a dedup pipeline: edges =
+    star links within exact-content-hash groups UNION star links
+    within simhash16 groups (so a doc bridging both relations MERGES
+    the clusters), then {_CC_ITERS} rounds of hash-min label
+    propagation (functions/graph.py).  Output = one row per
+    component: its label (the min doc_id — the survivor), member
+    count, id range.  The oracle unrolls the exact same {_CC_ITERS}
+    steps in SQL, so the hash match proves the iterative dataflow
+    step-for-step; a pytest pins that the iteration count reaches the
+    fixpoint (and equals a union-find reference) on the fixture.
+    Scale shape: O(N) star edges (never bucket cliques), each round
+    one node-partitioned join + min-aggregate."""
+    from ..functions.graph import connected_components, star_edges
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.md5(F.encode(F.array_join(
+            F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"),
+            " ",
+        ), "utf-8")).alias("k"),
+    )
+    e1 = star_edges(norm, "k", "doc_id")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    sim = terms.groupBy("doc_id").agg(*simhash16("term")).select(
+        "doc_id", simhash_combine().alias("k")
+    )
+    e2 = star_edges(sim, "k", "doc_id")
+    lbl = connected_components(e1.unionByName(e2), iters=_CC_ITERS)
+    return lbl.groupBy(F.col("lbl").alias("component")).agg(
+        F.count("*").alias("n_members"),
+        F.min("v").alias("min_member"),
+        F.max("v").alias("max_member"),
+    )
+
+
 def _stream_dirs(spark, sf_dir: str, dup_mod: int | None, tag: str) -> tuple[str, str, str]:
     """(src, sink, ckpt) dirs for a streaming probe.  Bounded /tmp
     footprint (review r5): the derived source corpus is written ONCE

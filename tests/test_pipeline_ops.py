@@ -675,3 +675,61 @@ def test_pq_adc_recall_compression_and_determinism(spark):
     b7 = pq_train(emb.repartition(7, "vec_id"), m=4, k=8, dim=64)
     assert b1 == b7
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+
+
+def test_connected_components_fixpoint_and_union_find_reference(spark):
+    """q53's iteration-count contract: _CC_ITERS hash-min rounds reach
+    the FIXPOINT on the fixture graph (one more round changes
+    nothing), and the fixpoint labels equal an independent union-find
+    reference over the collected edges — so the probe's step-for-step
+    oracle equality is also exact-component equality."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.graph import (
+        connected_components,
+        star_edges,
+    )
+    from cloud_based_web_crawling_indexing_system_spark.functions.text_ops import (
+        simhash16,
+        simhash_combine,
+    )
+    from cloud_based_web_crawling_indexing_system_spark.plans.probes import _CC_ITERS
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = d.select(
+        "doc_id",
+        F.md5(F.encode(F.array_join(
+            F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"),
+            " ",
+        ), "utf-8")).alias("k"),
+    )
+    e1 = star_edges(norm, "k", "doc_id")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    sim = terms.groupBy("doc_id").agg(*simhash16("term")).select(
+        "doc_id", simhash_combine().alias("k")
+    )
+    e2 = star_edges(sim, "k", "doc_id")
+    edges = e1.unionByName(e2)
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]  # test-only
+    assert edge_rows
+
+    lk = {r["v"]: r["lbl"] for r in connected_components(edges, iters=_CC_ITERS).collect()}
+    lk1 = {r["v"]: r["lbl"] for r in connected_components(edges, iters=_CC_ITERS + 1).collect()}
+    assert lk == lk1  # fixpoint reached within the probe's budget
+
+    # independent union-find reference
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_rows:
+        union(a, b)
+    want = {v: find(v) for v in lk}
+    assert lk == want
