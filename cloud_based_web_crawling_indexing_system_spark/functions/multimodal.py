@@ -22,12 +22,16 @@ baseline JPEG ENCODER (``encode_jpeg``: T.81 FDCT + Annex-K
 quantization + canonical Huffman, verified by an independent
 reference decoder in the tests) builds the MJPEG fixtures.
 
-The one remaining fallback — clearly flagged per-row via the
-``demuxed`` column — is frame extraction from NON-AVI compressed
-containers (MP4/H.264 etc. need libav, absent in this container):
-those take fixed-size byte slices as stand-in frames.  The
-Spark-side plumbing (schemas, Arrow batch iteration, partitioning)
-is identical either way.
+MP4/ISO-BMFF is demuxed for real too (``decode_mp4`` /
+``encode_mp4``): the stsc/stsz/stco sample tables give every
+sample's exact byte range and the stsd visual entry its dims —
+container demux is codec-independent, so TRUE frame bytes come out
+of an MP4 carrying ANY codec.  The one remaining fallback — clearly
+flagged per-row via the ``demuxed`` column — is frame extraction
+from unrecognized containers (MKV/WebM etc.), plus pixel DECODE of
+compressed codecs, which genuinely needs libav.  The Spark-side
+plumbing (schemas, Arrow batch iteration, partitioning) is identical
+either way.
 """
 
 from __future__ import annotations
@@ -55,6 +59,8 @@ __all__ = [
     "encode_wav",
     "decode_avi",
     "encode_avi",
+    "decode_mp4",
+    "encode_mp4",
     "decode_image_meta",
     "decode_audio_meta",
     "frame_sample",
@@ -389,6 +395,204 @@ def decode_avi(
         return None
     codec = "MJPG" if compression == struct.unpack("<I", b"MJPG")[0] else "DIB"
     return width, height, n, frames, codec
+
+
+# ---------------------------------------------------------------------
+# real MP4 / ISO BMFF (ISO 14496-12) container demux + minimal muxer.
+# Container demux is CODEC-INDEPENDENT: the stbl sample tables give
+# every sample's exact byte range and the stsd visual sample entry
+# carries the coded dims, so TRUE frame bytes come out of an MP4
+# without any codec library — only pixel DECODE of the samples needs
+# libav.
+# ---------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+_MP4_JPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpb"}  # QuickTime/MJPEG-in-MP4
+
+
+def _mp4_boxes(b: bytes, start: int, end: int, depth: int = 0):
+    """Yield (fourcc, body_start, body_end) for the box sequence in
+    ``b[start:end]``; handles 64-bit largesize and size-0 (to end)
+    boxes, refuses hostile nesting/truncation by stopping."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        fourcc = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return  # truncated/forged box — stop scanning
+        yield fourcc, body, i + size
+        i += size
+
+
+def _mp4_walk(b: bytes, start: int, end: int, found: dict, depth: int = 0) -> None:
+    if depth > 12:
+        return
+    for fourcc, bs, be in _mp4_boxes(b, start, end):
+        if fourcc in _MP4_CONTAINERS:
+            _mp4_walk(b, bs, be, found, depth + 1)
+        elif fourcc == b"hdlr" and be - bs >= 12:
+            found["hdlr"] = b[bs + 8 : bs + 12]
+        elif fourcc in (b"stsd", b"stsz", b"stco", b"co64", b"stsc"):
+            # only keep the VIDEO track's tables: hdlr precedes stbl in
+            # document order within a trak, so the last-seen hdlr tells
+            # us whose tables these are
+            if found.get("hdlr") == b"vide":
+                found.setdefault(fourcc, (bs, be))
+
+
+def decode_mp4(blob: bytes | None) -> tuple[int, int, int, list[bytes], str] | None:
+    """Real MP4 demux: returns ``(width, height, n_samples, samples,
+    codec_fourcc)`` for the first video track, or None when the
+    payload is not a readable ISO BMFF file.  Sample byte ranges are
+    resolved through the full stsc/stsz/stco chunk mapping (not a
+    single-chunk shortcut), dims come from the stsd visual sample
+    entry.  Codec-independent: works for MJPEG, AVC, anything — the
+    samples are the codec payload bytes."""
+    if not blob:
+        return None
+    b = bytes(blob)
+    if len(b) < 16:
+        return None
+    # must look like BMFF: first box is ftyp (or styp for segments)
+    head = list(_mp4_boxes(b, 0, min(len(b), 32)))
+    if not head or head[0][0] not in (b"ftyp", b"styp"):
+        return None
+    found: dict = {}
+    _mp4_walk(b, 0, len(b), found)
+    if b"stsd" not in found or b"stsz" not in found:
+        return None
+    if b"stco" not in found and b"co64" not in found:
+        return None
+    try:
+        bs, be = found[b"stsd"]
+        (n_entries,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+        if n_entries < 1:
+            return None
+        ebody = bs + 8 + 8  # first entry, past its own box header
+        codec = b[bs + 8 + 4 : bs + 8 + 8]
+        w, h = struct.unpack(">HH", b[ebody + 24 : ebody + 28])
+        if not (0 < w <= 0x7FFF and 0 < h <= 0x7FFF):
+            return None
+        bs, be = found[b"stsz"]
+        (fixed,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+        (n_samples,) = struct.unpack(">I", b[bs + 8 : bs + 12])
+        if n_samples == 0 or n_samples > 1_000_000:
+            return None
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            sizes = list(
+                struct.unpack(f">{n_samples}I", b[bs + 12 : bs + 12 + 4 * n_samples])
+            )
+        if b"stco" in found:
+            bs, be = found[b"stco"]
+            (n_chunks,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+            offsets = list(struct.unpack(f">{n_chunks}I", b[bs + 8 : bs + 8 + 4 * n_chunks]))
+        else:
+            bs, be = found[b"co64"]
+            (n_chunks,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+            offsets = list(struct.unpack(f">{n_chunks}Q", b[bs + 8 : bs + 8 + 8 * n_chunks]))
+        # stsc: (first_chunk, samples_per_chunk) runs
+        bs, be = found[b"stsc"]
+        (n_sc,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+        sc = [
+            struct.unpack(">III", b[bs + 8 + 12 * i : bs + 20 + 12 * i])[:2]
+            for i in range(n_sc)
+        ]
+    except struct.error:
+        return None  # tables truncated — refuse
+    if not sc or not offsets:
+        return None
+    # resolve per-chunk sample counts from the stsc runs
+    samples: list[bytes] = []
+    si = 0
+    for ci, base in enumerate(offsets, start=1):
+        per = 0
+        for first, cnt in sc:
+            if first <= ci:
+                per = cnt
+        off = base
+        for _ in range(per):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if off + size > len(b):
+                return None  # sample runs past the blob — truncated
+            samples.append(b[off : off + size])
+            off += size
+            si += 1
+    if si != n_samples:
+        return None  # chunk map doesn't cover the declared samples
+    return w, h, n_samples, samples, codec.decode("latin-1")
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def encode_mp4(width: int, height: int, samples: list[bytes], fps: int = 10,
+               codec: str = "jpeg") -> bytes:
+    """Minimal real MP4 muxer: ftyp + mdat (samples, one chunk) + a
+    complete moov (mvhd / trak / tkhd / mdia / mdhd / hdlr:vide /
+    minf / vmhd / dinf / stbl with stsd+stts+stsc+stsz+stco).  The
+    stco offset points at the mdat payload, so the demuxer recovers
+    the exact sample bytes."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    data = b"".join(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", data)
+    data_off = len(ftyp) + 8  # absolute offset of the first sample
+
+    dur = n * (1000 // fps)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, dur)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + b"\x00" * 8
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+                + struct.pack(">I", dur) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12
+                + b"VideoHandler\x00")
+    entry = (
+        struct.pack(">I", 86) + codec.encode("latin-1")
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, 1000 // fps))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, n)
+                + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _box(b"stco", struct.pack(">III", 0, 1, data_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    dref = _box(b"dref", struct.pack(">II", 0, 1) + _box(b"url ", struct.pack(">I", 1)))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 # ---------------------------------------------------------------------
@@ -853,13 +1057,13 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video-kind rows: every ``every_n``-th frame's
     sha + dims.  REAL demux for AVI payloads (decode_avi: true frame
-    bytes out of the movi chunks) — both uncompressed DIB frames
-    (dims from the container header) and MJPEG frames, where each
-    frame is a complete JPEG whose dims come from ITS OWN SOF segment
-    (judge r4 #1: MJPEG needs no libav, just the existing T.81 SOF
-    parser).  Non-AVI payloads take the documented fallback —
-    fixed-size byte slices as stand-in frames (other compressed
-    codecs need libav, absent in this container) — flagged by
+    bytes out of the movi chunks — uncompressed DIB with container
+    dims, MJPEG with dims from each frame's OWN SOF segment) AND for
+    MP4/ISO-BMFF payloads (decode_mp4: true sample bytes through the
+    stsc/stsz/stco tables, any codec — container demux needs no codec
+    library; JPEG-family sample entries additionally get per-frame
+    SOF dims).  Only unrecognized containers take the documented
+    fallback — fixed-size byte slices as stand-in frames — flagged by
     ``demuxed=false``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -869,15 +1073,22 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                 if blob is None:
                     continue
                 b = bytes(blob)
-                avi = decode_avi(b)
-                if avi is not None:
-                    w, h, n_frames, frames, codec = avi
+                got = decode_avi(b)
+                jpeg_family = got is not None and got[4] == "MJPG"
+                if got is None:
+                    got = decode_mp4(b)
+                    jpeg_family = (
+                        got is not None
+                        and got[4].encode("latin-1") in _MP4_JPEG_FOURCC
+                    )
+                if got is not None:
+                    w, h, n_frames, frames, _codec = got
                     for i in range(0, n_frames, every_n):
                         frame = frames[i]
                         fw, fh = w, h
-                        if codec == "MJPG":
-                            # dims from THIS frame's SOF; raw DIB
-                            # frames are never SOF-sniffed (their bytes
+                        if jpeg_family:
+                            # dims from THIS frame's SOF; non-JPEG
+                            # codecs keep container dims (their bytes
                             # could coincidentally parse as a JPEG)
                             jf = _decode_jpeg(frame)
                             if jf is not None:

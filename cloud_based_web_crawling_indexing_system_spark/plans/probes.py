@@ -1939,6 +1939,73 @@ def q52(spark, sf_dir):
     )
 
 
+@probe(
+    "q54_mp4_frame_sample",
+    """
+    WITH g AS (SELECT doc_id, 3 + doc_id % 8 AS n_frames FROM documents)
+    SELECT doc_id,
+           CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(3 * ((n_frames + 2) // 3 - 1) AS INT) AS max_frame_idx,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST((n_frames + 2) // 3 AS BIGINT) AS n_demuxed
+    FROM g
+    """,
+)
+def q54(spark, sf_dir):
+    """REAL MP4 frame extraction through the driver gate: per doc_id
+    the engine muxes JPEG frames into an ISO-BMFF file (encode_mp4:
+    ftyp + mdat + full moov/stbl sample tables) and frame_sample
+    demuxes every 3rd sample through the stsc/stsz/stco resolution,
+    reading dims from each frame's own SOF ('jpeg' sample entry).
+    The oracle recomputes counts/dims from the doc_id arithmetic;
+    n_demuxed == n_sampled proves zero rows took the byte-slice
+    fallback — container demux needs no codec library.  Same scale
+    shape as q45 (fixture repartition + two narrow Arrow stages +
+    one aggregation)."""
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_jpeg,
+        encode_mp4,
+        frame_sample,
+        test_pixels,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    ids = _t(spark, sf_dir, "documents").select("doc_id").repartition(par, "doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "blob": [], "mime": [], "meta_json": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                n = 3 + did % 8
+                frames = [
+                    encode_jpeg(w, h, test_pixels(w, h, 3, seed=(did + i) % 79), 3)
+                    for i in range(n)
+                ]
+                out["media_id"].append(did)
+                out["kind"].append("video")
+                out["blob"].append(encode_mp4(w, h, frames, fps=10, codec="jpeg"))
+                out["mime"].append("video/mp4")
+                out["meta_json"].append("{}")
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(enc, schema=MEDIA_SCHEMA)
+    return frame_sample(media, every_n=3).groupBy(
+        F.col("media_id").alias("doc_id")
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+        F.sum(F.col("demuxed").cast("long")).alias("n_demuxed"),
+    )
+
+
 _CC_ITERS = 8
 
 

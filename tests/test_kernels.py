@@ -971,3 +971,71 @@ def test_jpeg_encoder_reference_decode_property(w, h, ch, seed):
         src = np.frombuffer(smooth, dtype=np.uint8).astype(np.float64).reshape(h, w)
         err = np.abs(planes[0] - src)
         assert err.max() <= 14, (w, h, seed, err.max())
+
+
+def test_mp4_mux_demux_roundtrip_and_rejection():
+    """Real ISO-BMFF demux: sample bytes recovered byte-exactly
+    through the stsc/stsz/stco tables for BOTH a JPEG track and an
+    opaque-codec (avc1) track; truncated and non-BMFF payloads are
+    refused; hostile table values (absurd sample counts, dims, sample
+    ranges past the blob) surface None, never an exception."""
+    import struct
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_mp4,
+        encode_jpeg,
+        encode_mp4,
+        test_pixels,
+    )
+
+    frames = [encode_jpeg(7, 5, test_pixels(7, 5, 3, seed=i), 3) for i in range(6)]
+    blob = encode_mp4(7, 5, frames, fps=10, codec="jpeg")
+    assert decode_mp4(blob) == (7, 5, 6, frames, "jpeg")
+
+    nals = [b"\x00\x00\x00\x01" + bytes([i]) * (20 + i) for i in range(4)]
+    blob2 = encode_mp4(16, 9, nals, codec="avc1")
+    assert decode_mp4(blob2) == (16, 9, 4, nals, "avc1")
+
+    # rejections
+    assert decode_mp4(b"definitely not an mp4") is None
+    assert decode_mp4(None) is None and decode_mp4(b"") is None
+    assert decode_mp4(blob[:40]) is None
+    assert decode_mp4(blob[: len(blob) // 2]) is None  # cut inside moov/mdat
+
+    # hostile stsz sample count
+    bad = bytearray(blob)
+    stsz_at = bytes(bad).find(b"stsz")
+    struct.pack_into(">I", bad, stsz_at + 12, 0x7FFFFFFF)
+    assert decode_mp4(bytes(bad)) is None
+
+    # hostile dims in the stsd visual entry
+    bad = bytearray(blob)
+    stsd_at = bytes(bad).find(b"stsd")
+    struct.pack_into(">HH", bad, stsd_at + 12 + 8 + 24, 0, 0)
+    assert decode_mp4(bytes(bad)) is None
+
+    # stco pointing past the file -> sample range check refuses
+    bad = bytearray(blob)
+    stco_at = bytes(bad).find(b"stco")
+    struct.pack_into(">I", bad, stco_at + 12, len(blob) - 3)
+    assert decode_mp4(bytes(bad)) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_mp4_roundtrip_property(w, h, n, seed):
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_mp4,
+        encode_mp4,
+        test_pixels,
+    )
+
+    # arbitrary opaque samples of varying size
+    samples = [test_pixels(3 + (seed + i) % 9, 2, 1, seed=seed + i) for i in range(n)]
+    got = decode_mp4(encode_mp4(w, h, samples, codec="avc1"))
+    assert got == (w, h, n, samples, "avc1")

@@ -298,13 +298,20 @@ def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
         test_pixels,
     )
 
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        encode_mp4,
+    )
+
     dib = encode_avi(4, 3, [test_pixels(4, 3, 3, seed=i) for i in range(6)])
     mj_frames = [encode_jpeg(9, 5, test_pixels(9, 5, 3, seed=i), 3) for i in range(6)]
     mjpg = encode_avi(9, 5, mj_frames, fps=8, codec="MJPG")
+    mp4_nals = [b"\x00\x00\x00\x01" + bytes([i]) * 30 for i in range(6)]
+    mp4_avc = encode_mp4(11, 7, mp4_nals, codec="avc1")
     rows = [
         (0, "video", dib, "video/x-msvideo", "{}"),
         (1, "video", mjpg, "video/x-msvideo", "{}"),
-        (2, "video", b"mp4-ish opaque payload " * 20, "video/mp4", "{}"),
+        (2, "video", b"mkv-ish opaque payload " * 20, "video/x-matroska", "{}"),
+        (3, "video", mp4_avc, "video/mp4", "{}"),
     ]
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
@@ -329,6 +336,16 @@ def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
     assert all(
         not r["demuxed"] and r["width"] is None for r in by_id[2]
     ) and len(by_id[2]) >= 1
+    # MP4 with an opaque codec: TRUE sample bytes demuxed (shas match
+    # the exact NAL payloads), container dims, never SOF-sniffed
+    import hashlib as _hl
+
+    assert len(by_id[3]) == 3 and all(
+        r["demuxed"] and (r["width"], r["height"]) == (11, 7) for r in by_id[3]
+    )
+    assert {r["frame_sha"] for r in by_id[3]} == {
+        _hl.sha256(mp4_nals[i]).hexdigest() for i in (0, 2, 4)
+    }
 
 
 def test_oversized_header_values_surface_null_not_job_failure(spark):
