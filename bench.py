@@ -52,6 +52,7 @@ HEADLINE = [
     "q46_bpe_token_count_vectorized",
     "q47_token_len_quantiles_approx",
     "q51_lang_id_confusion_catalyst",
+    "q54_mp4_frame_sample",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
