@@ -461,9 +461,12 @@ def decode_mp4(blob: bytes | None) -> tuple[int, int, int, list[bytes], str] | N
     b = bytes(blob)
     if len(b) < 16:
         return None
-    # must look like BMFF: first box is ftyp (or styp for segments)
-    head = list(_mp4_boxes(b, 0, min(len(b), 32)))
-    if not head or head[0][0] not in (b"ftyp", b"styp"):
+    # must look like BMFF: the FIRST box is ftyp (or styp for
+    # segments).  Sniff over the full blob — a truncated scan window
+    # would reject any file whose ftyp carries several compatible
+    # brands (common in DASH/ffmpeg output, review r5)
+    head = next(_mp4_boxes(b, 0, len(b)), None)
+    if head is None or head[0] not in (b"ftyp", b"styp"):
         return None
     found: dict = {}
     _mp4_walk(b, 0, len(b), found)
@@ -481,6 +484,10 @@ def decode_mp4(blob: bytes | None) -> tuple[int, int, int, list[bytes], str] | N
         w, h = struct.unpack(">HH", b[ebody + 24 : ebody + 28])
         if not (0 < w <= 0x7FFF and 0 < h <= 0x7FFF):
             return None
+        # every table read is bounded by ITS OWN box end (review r5:
+        # a forged count bounded only by the blob length would read
+        # neighboring boxes' bytes as table entries and emit garbage
+        # frames flagged demuxed=true)
         bs, be = found[b"stsz"]
         (fixed,) = struct.unpack(">I", b[bs + 4 : bs + 8])
         (n_samples,) = struct.unpack(">I", b[bs + 8 : bs + 12])
@@ -489,20 +496,28 @@ def decode_mp4(blob: bytes | None) -> tuple[int, int, int, list[bytes], str] | N
         if fixed:
             sizes = [fixed] * n_samples
         else:
+            if bs + 12 + 4 * n_samples > be:
+                return None  # declared count exceeds the stsz box
             sizes = list(
                 struct.unpack(f">{n_samples}I", b[bs + 12 : bs + 12 + 4 * n_samples])
             )
         if b"stco" in found:
             bs, be = found[b"stco"]
             (n_chunks,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+            if bs + 8 + 4 * n_chunks > be:
+                return None
             offsets = list(struct.unpack(f">{n_chunks}I", b[bs + 8 : bs + 8 + 4 * n_chunks]))
         else:
             bs, be = found[b"co64"]
             (n_chunks,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+            if bs + 8 + 8 * n_chunks > be:
+                return None
             offsets = list(struct.unpack(f">{n_chunks}Q", b[bs + 8 : bs + 8 + 8 * n_chunks]))
         # stsc: (first_chunk, samples_per_chunk) runs
         bs, be = found[b"stsc"]
         (n_sc,) = struct.unpack(">I", b[bs + 4 : bs + 8])
+        if bs + 8 + 12 * n_sc > be:
+            return None
         sc = [
             struct.unpack(">III", b[bs + 8 + 12 * i : bs + 20 + 12 * i])[:2]
             for i in range(n_sc)

@@ -248,6 +248,72 @@ def ivf_centroids(
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def _kmeans_fit(
+    embeddings: DataFrame,
+    n_cells: int,
+    n_iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+    dist_fn,
+    assign_fn,
+    allow_zero_centroid: bool,
+) -> list[list[float]]:
+    """ONE deterministic k-means implementation shared by the cosine
+    (IVF) and L2 (PQ) routes (review r5: the two fits had diverged
+    copies of the same 45 lines — the degenerate-corpus guard reached
+    one and not the other).  ``dist_fn(vec_col, centroid) -> Column``
+    defines the seeding metric, ``assign_fn(centroids, vec_col) ->
+    Column`` the cell assignment; the rest — farthest-point seeding
+    (TakeOrdered per pick), integer-scaled order-independent Lloyd's
+    means, keep-previous-centroid on empty cells — is metric-blind.
+    ``allow_zero_centroid`` is False for cosine (a zero mean would
+    yield NaN cosines that funnel the whole corpus into one cell) and
+    True for L2 (the zero vector is a perfectly valid L2 centroid)."""
+    first = embeddings.orderBy(id_col).limit(1).select(vec_col).collect()
+    if not first:
+        return []
+    cents = [[float(x) for x in first[0][0]]]
+    while len(cents) < n_cells:
+        dists = [dist_fn(vec_col, c) for c in cents]
+        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            embeddings.select(id_col, vec_col, d.alias("d"))
+            .orderBy(F.desc("d"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        cents.append([float(x) for x in row[0][vec_col]])
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = embeddings.withColumn("cell", assign_fn(cents, vec_col))
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.floor(F.col(vec_col)[i] * F.lit(float(scale))).cast("long")).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cell").agg(*aggs).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            if not r["n"]:
+                continue
+            vals = [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)]
+            if allow_zero_centroid or any(v != 0.0 for v in vals):
+                new[r["cell"]] = vals
+        cents = new
+    return cents
+
+
+def _argmax_cos_col(centroids: list[list[float]], vec: str) -> Column:
+    """argmax-cosine cell id (greatest over (cosine, -cell) structs,
+    ties to the lowest cell id) — shared by ivf_assign and the fit."""
+    packed = [
+        F.struct(_cos_lit(vec, c).alias("s"), F.lit(-i).alias("nc"))
+        for i, c in enumerate(centroids)
+    ]
+    best = packed[0] if len(packed) == 1 else F.greatest(*packed)
+    return (-best["nc"]).cast("int")
+
+
 def ivf_centroids_kmeans(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -276,45 +342,18 @@ def ivf_centroids_kmeans(
     k x (dim+1) longs, each collecting k rows — the model fit stays
     O(k*dim) driver-side like ivf_centroids."""
     nonzero = embeddings.where(_dot(vec_col, vec_col) > 0)
-    first = nonzero.orderBy(id_col).limit(1).select(vec_col).collect()
-    if not first:
+    cents = _kmeans_fit(
+        nonzero, n_cells, n_iters, scale, id_col, vec_col,
+        dist_fn=lambda v, c: 1.0 - _cos_lit(v, c),
+        assign_fn=_argmax_cos_col,
+        allow_zero_centroid=False,
+    )
+    if not cents:
         # degenerate corpus (no nonzero vectors): fall back to the
         # first-k route's behavior instead of returning an empty
         # centroid list that would crash ivf_assign downstream
         # (review r5) — results degrade the same way first-k does
         return ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    cents = [[float(x) for x in first[0][0]]]
-    while len(cents) < n_cells:
-        dists = [(1.0 - _cos_lit(vec_col, c)) for c in cents]
-        d = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            nonzero.select(id_col, vec_col, d.alias("d"))
-            .orderBy(F.desc("d"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        cents.append([float(x) for x in row[0][vec_col]])
-    dim = len(cents[0])
-    for _ in range(n_iters):
-        assigned = ivf_assign(nonzero, cents, vec_col)
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(F.floor(F.col(vec_col)[i] * F.lit(float(scale))).cast("long")).alias(f"s{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*aggs).collect()
-        new = [list(c) for c in cents]
-        for r in rows:
-            if not r["n"]:
-                continue
-            vals = [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)]
-            # a mean that cancels to the exact zero vector (e.g. a cell
-            # capturing v and -v) would make _cos_lit divide by sqrt(0)
-            # -> NaN, and Spark ranks NaN above every double, so
-            # ivf_assign would funnel the ENTIRE corpus into that one
-            # cell (review r5).  Keep the previous centroid instead.
-            if any(v != 0.0 for v in vals):
-                new[r["cell"]] = vals
-        cents = new
     return cents
 
 
@@ -326,12 +365,7 @@ def ivf_assign(
     """Adds ``cell`` = argmax-cosine centroid id.  Pure expression
     (greatest over (cosine, -cell) structs): zero shuffle, whole-stage
     codegen, ties break to the lowest cell id."""
-    packed = [
-        F.struct(_cos_lit(vec_col, c).alias("s"), F.lit(-i).alias("nc"))
-        for i, c in enumerate(centroids)
-    ]
-    best = packed[0] if len(packed) == 1 else F.greatest(*packed)
-    return embeddings.withColumn("cell", (-best["nc"]).cast("int"))
+    return embeddings.withColumn("cell", _argmax_cos_col(centroids, vec_col))
 
 
 def ivf_probe_cells(
@@ -432,35 +466,17 @@ def kmeans_l2(
     """Deterministic L2 k-means: farthest-point seeding (max-min L2,
     id tiebreak) + integer-scaled Lloyd's means (the mean IS the L2
     minimizer, so this is textbook Lloyd's — order-independent by the
-    same integer-sum argument as ivf_centroids_kmeans)."""
-    first = embeddings.orderBy(id_col).limit(1).select(vec_col).collect()
-    if not first:
-        return []
-    cents = [[float(x) for x in first[0][0]]]
-    while len(cents) < n_cells:
-        dists = [_l2_lit(vec_col, c) for c in cents]
-        d = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            embeddings.select(id_col, vec_col, d.alias("d"))
-            .orderBy(F.desc("d"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        cents.append([float(x) for x in row[0][vec_col]])
-    dim = len(cents[0])
-    for _ in range(n_iters):
-        assigned = embeddings.withColumn("cell", _argmin_l2_col(cents, vec_col))
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(F.floor(F.col(vec_col)[i] * F.lit(float(scale))).cast("long")).alias(f"s{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*aggs).collect()
-        new = [list(c) for c in cents]
-        for r in rows:
-            if r["n"]:
-                new[r["cell"]] = [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)]
-        cents = new
-    return cents
+    same integer-sum argument as ivf_centroids_kmeans).  Same shared
+    fit as the cosine route (_kmeans_fit); NULL vectors are excluded,
+    zero vectors are legal L2 members AND legal L2 centroids.
+    Returns [] for an empty corpus — callers must handle it."""
+    rows = embeddings.where(F.expr(f"{vec_col} IS NOT NULL"))
+    return _kmeans_fit(
+        rows, n_cells, n_iters, scale, id_col, vec_col,
+        dist_fn=_l2_lit,
+        assign_fn=_argmin_l2_col,
+        allow_zero_centroid=True,
+    )
 
 
 def _argmin_l2_col(centroids: list[list[float]], vec: str) -> Column:
@@ -494,10 +510,19 @@ def pq_train(
     sub = dim // m
     books = []
     for s in range(m):
+        # persist the sliced subspace: the seeding loop issues k
+        # TakeOrdered scans + n_iters aggregations over it (review
+        # r5: uncached, each re-read and re-sliced the source)
         sliced = embeddings.select(
             id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv")
-        )
-        books.append(kmeans_l2(sliced, k, n_iters, id_col=id_col, vec_col="subv"))
+        ).persist()
+        try:
+            book = kmeans_l2(sliced, k, n_iters, id_col=id_col, vec_col="subv")
+        finally:
+            sliced.unpersist()
+        if not book:
+            raise ValueError("pq_train: empty corpus (no non-NULL vectors)")
+        books.append(book)
     return books
 
 

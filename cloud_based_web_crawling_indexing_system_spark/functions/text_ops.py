@@ -21,6 +21,7 @@ __all__ = [
     "simhash16",
     "simhash_combine",
     "stopword_count",
+    "dedup_norm_key",
 ]
 
 _WORD = r"\w+"
@@ -97,3 +98,23 @@ def stopword_count(tokens_col: str, stopwords: list[str]) -> Column:
     # the lambda expression
     arr = ",".join("'" + w.replace("'", "''") + "'" for w in stopwords)
     return F.expr(f"size(filter({tokens_col}, t -> t IN ({arr})))")
+
+
+def dedup_norm_key(text_col: str = "text") -> Column:
+    """md5 of the normalized token stream (lowercase ``\\w+`` tokens
+    minus the planted 'dup' marker, space-joined) — THE exact-dedup
+    content key.  Shared by q23, q53's edge construction, and the
+    components fixpoint test (review r5: three verbatim copies could
+    silently drift from each other and from the SQL oracles)."""
+    return F.md5(
+        F.encode(
+            F.array_join(
+                F.expr(
+                    f"filter(regexp_extract_all(lower(coalesce({text_col}, '')),"
+                    " '\\\\w+', 0), t -> t <> 'dup')"
+                ),
+                " ",
+            ),
+            "utf-8",
+        )
+    )

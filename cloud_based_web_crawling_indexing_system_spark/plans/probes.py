@@ -29,7 +29,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_ops import bigrams, minhash_cols, shingles, simhash16, simhash_combine, tokens
+from ..functions.text_ops import (
+    bigrams,
+    dedup_norm_key,
+    minhash_cols,
+    shingles,
+    simhash16,
+    simhash_combine,
+    tokens,
+)
 
 Probe = Callable[[SparkSession, str], DataFrame]
 
@@ -646,12 +654,9 @@ def q23(spark, sf_dir):
     """Exact dedup after canonicalization: tokenize, drop the planted
     'dup' marker token, hash the normalized token stream, group —
     the normalize->hash->groupBy exact-dup pipeline."""
-    norm = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_join(F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"), " ").alias("norm_text"),
-    )
     return (
-        norm.groupBy(F.md5(F.encode(F.col("norm_text"), "utf-8")).alias("content_hash"))
+        _t(spark, sf_dir, "documents")
+        .groupBy(dedup_norm_key("text").alias("content_hash"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
         .where(F.col("n_docs") > 1)
     )
@@ -2078,13 +2083,7 @@ def q53(spark, sf_dir):
     from ..functions.graph import connected_components, star_edges
 
     d = _t(spark, sf_dir, "documents")
-    norm = d.select(
-        "doc_id",
-        F.md5(F.encode(F.array_join(
-            F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"),
-            " ",
-        ), "utf-8")).alias("k"),
-    )
+    norm = d.select("doc_id", dedup_norm_key("text").alias("k"))
     e1 = star_edges(norm, "k", "doc_id")
     terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     sim = terms.groupBy("doc_id").agg(*simhash16("term")).select(

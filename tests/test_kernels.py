@@ -1039,3 +1039,38 @@ def test_mp4_roundtrip_property(w, h, n, seed):
     samples = [test_pixels(3 + (seed + i) % 9, 2, 1, seed=seed + i) for i in range(n)]
     got = decode_mp4(encode_mp4(w, h, samples, codec="avc1"))
     assert got == (w, h, n, samples, "avc1")
+
+
+def test_mp4_large_ftyp_and_forged_table_bounds():
+    """Review r5 pins: (a) a DASH/ffmpeg-style ftyp carrying several
+    compatible brands (>32 bytes) must still demux; (b) an stsz that
+    declares more samples than its own box holds is refused — table
+    reads are bounded by each box's end, never just the blob length."""
+    import struct
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_mp4,
+        encode_mp4,
+        test_pixels,
+    )
+
+    samples = [test_pixels(5, 2, 1, seed=i) for i in range(3)]
+    blob = encode_mp4(6, 4, samples, codec="avc1")
+    # swap in a 36-byte ftyp (5 compatible brands) and keep everything
+    # else intact: stco offsets shift by the ftyp growth, so patch it
+    (old_sz,) = struct.unpack(">I", blob[:4])
+    big_ftyp = struct.pack(">I", 8 + 4 + 4 + 20) + b"ftyp" + b"isom" + struct.pack(
+        ">I", 512) + b"isomiso2avc1mp41dash"
+    grown = len(big_ftyp) - old_sz
+    rest = bytearray(blob[old_sz:])
+    stco_at = bytes(rest).find(b"stco")
+    (off,) = struct.unpack(">I", rest[stco_at + 12 : stco_at + 16])
+    struct.pack_into(">I", rest, stco_at + 12, off + grown)
+    big = big_ftyp + bytes(rest)
+    assert decode_mp4(big) == (6, 4, 3, samples, "avc1")
+
+    # forged stsz count that stays inside the BLOB but not the BOX
+    bad = bytearray(blob)
+    stsz_at = bytes(bad).find(b"stsz")
+    struct.pack_into(">I", bad, stsz_at + 12, 5)  # declares 5, holds 3
+    assert decode_mp4(bytes(bad)) is None

@@ -710,14 +710,12 @@ def test_connected_components_fixpoint_and_union_find_reference(spark):
     )
     from cloud_based_web_crawling_indexing_system_spark.plans.probes import _CC_ITERS
 
-    d = spark.read.parquet(f"{SF}/documents.parquet")
-    norm = d.select(
-        "doc_id",
-        F.md5(F.encode(F.array_join(
-            F.expr("filter(regexp_extract_all(lower(coalesce(text, '')), '\\\\w+', 0), t -> t <> 'dup')"),
-            " ",
-        ), "utf-8")).alias("k"),
+    from cloud_based_web_crawling_indexing_system_spark.functions.text_ops import (
+        dedup_norm_key,
     )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = d.select("doc_id", dedup_norm_key("text").alias("k"))
     e1 = star_edges(norm, "k", "doc_id")
     terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     sim = terms.groupBy("doc_id").agg(*simhash16("term")).select(
