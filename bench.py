@@ -36,22 +36,19 @@ HEADLINE = [
     "q21_search_and",
     "q24_minhash_lsh_pairs",
     "q25_simhash_signatures",
-    "q27_knn_cosine_top5",
+    "q27_knn_cosine_top5_routes",
     "q31_blob_stats",
     "q33_srp_ann_topk",
     "q34_ivf_ann_topk",
     "q35_embedding_neardup_lsh",
-    "q36_lang_id_confusion",
+    "q36_lang_id_confusion_routes",
     "q37_ngram_jaccard_capped",
-    "q38_knn_vectorized_topk",
     "q41_image_decode_roundtrip",
-    "q42_bpe_token_count",
+    "q42_bpe_token_count_routes",
     "q43_audio_decode_roundtrip",
     "q44_video_frame_sample",
     "q45_mjpeg_frame_sample",
-    "q46_bpe_token_count_vectorized",
-    "q47_token_len_quantiles_approx",
-    "q51_lang_id_confusion_catalyst",
+    "q39_token_len_quantiles_routes",
     "q54_mp4_frame_sample",
 ]
 

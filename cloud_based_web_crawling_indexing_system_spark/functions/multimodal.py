@@ -344,11 +344,14 @@ def decode_avi(
     width = height = None
     declared = None
     compression = 0
+    compression_latched = False
+    last_strh_type = None
     truncated = False
     frames: list[bytes] = []
 
     def walk(start: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, declared, compression, truncated
+        nonlocal compression_latched, last_strh_type
         if depth > 16:
             return  # hostile nesting (real AVIs nest ~3 deep) — stop
         i = start
@@ -361,13 +364,24 @@ def decode_avi(
             elif cid == b"avih" and body_end - body_start >= 40:
                 vals = struct.unpack("<10I", b[body_start : body_start + 40])
                 declared, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strh" and body_end - body_start >= 4:
+                # remember which stream the NEXT strf describes —
+                # fccType is the first dword of AVISTREAMHEADER
+                last_strh_type = b[body_start : body_start + 4]
             elif cid == b"strf" and body_end - body_start >= 20:
                 # BITMAPINFOHEADER.biCompression is the authoritative
                 # codec signal; threaded to the caller so only MJPG
                 # frames get SOF-sniffed (review r5: a raw DIB frame
                 # whose bytes happen to parse as a JPEG must not
-                # report the embedded JPEG's dims)
-                (compression,) = struct.unpack("<I", b[body_start + 16 : body_start + 20])
+                # report the embedded JPEG's dims).  Only the FIRST
+                # strf belonging to a 'vids' strh may latch it
+                # (advisor r5: in a multi-stream AVI an audio strf —
+                # e.g. a 30-byte MPEGLAYER3WAVEFORMAT — would
+                # otherwise overwrite the video codec signal, and the
+                # frames extracted below are stream 00's anyway)
+                if last_strh_type == b"vids" and not compression_latched:
+                    (compression,) = struct.unpack("<I", b[body_start + 16 : body_start + 20])
+                    compression_latched = True
             elif cid in (b"00db", b"00dc"):
                 if body_start + clen > end:
                     truncated = True  # frame chunk runs past the blob
@@ -525,6 +539,14 @@ def decode_mp4(blob: bytes | None) -> tuple[int, int, int, list[bytes], str] | N
     except struct.error:
         return None  # tables truncated — refuse
     if not sc or not offsets:
+        return None
+    # the spec (ISO 14496-12 §8.7.4) requires stsc runs sorted by
+    # strictly-increasing first_chunk starting at chunk 1; the
+    # last-run-wins resolution below silently mis-segments frames on a
+    # hostile out-of-order table that still sums to n_samples, so
+    # refuse-don't-guess like every other table bounds check
+    # (advisor r5)
+    if sc[0][0] != 1 or any(sc[i][0] >= sc[i + 1][0] for i in range(len(sc) - 1)):
         return None
     # resolve per-chunk sample counts from the stsc runs
     samples: list[bytes] = []

@@ -10,7 +10,14 @@ from cloud_based_web_crawling_indexing_system_spark.session import get_spark  # 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(master="local[4]", app_name="cbwcis-tests", shuffle_partitions=8)
+    # CBWCIS_TEST_MASTER / CBWCIS_TEST_SHUFFLE let the flake-stress
+    # harness (scripts/stress_zero_delay.sh, VERDICT r5 #3) sweep
+    # parallelism without editing this file; defaults unchanged
+    s = get_spark(
+        master=os.environ.get("CBWCIS_TEST_MASTER", "local[4]"),
+        app_name="cbwcis-tests",
+        shuffle_partitions=int(os.environ.get("CBWCIS_TEST_SHUFFLE", "8")),
+    )
     yield s
     s.stop()
 

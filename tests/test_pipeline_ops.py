@@ -600,17 +600,17 @@ def test_percentile_approx_error_bound(spark):
         assert lo - tol <= target <= hi + tol, (p, g, lo, hi, target)
 
 
-def test_q47_equals_q39_exact_route(spark):
+def test_q39_approx_equals_exact_route(spark):
     """Route equality engine-side too (not only through the oracle):
     the approx plan at high accuracy reproduces the exact window
-    plan's values on the sf fixture."""
+    plan's values on the sf fixture (r6: the two r5 registry entries
+    are now the two tagged routes of q39_token_len_quantiles_routes)."""
     from cloud_based_web_crawling_indexing_system_spark.plans import probes
 
-    reg = probes.registry()
     a = {tuple(sorted(r.asDict().items()))
-         for r in reg["q39_token_len_quantiles"](spark, SF).collect()}
+         for r in probes.q39_exact_route(spark, SF).collect()}
     b = {tuple(sorted(r.asDict().items()))
-         for r in reg["q47_token_len_quantiles_approx"](spark, SF).collect()}
+         for r in probes.q39_approx_route(spark, SF).collect()}
     assert a == b
 
 

@@ -46,7 +46,7 @@ def test_q21_semi_search_broadcast(spark):
 
 
 def test_q27_topk_window_and_broadcast(spark):
-    plan = _plan(probes.registry()["q27_knn_cosine_top5"](spark, SF))
+    plan = _plan(probes.q27_builtin_route(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
 
@@ -156,7 +156,7 @@ def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
     plan = _plan(probes.registry()["q44_video_frame_sample"](spark, SF))
     assert plan.count("Exchange") <= 1
 
-    plan = _plan(probes.registry()["q42_bpe_token_count"](spark, SF))
+    plan = _plan(probes.q42_chain_route(spark, SF))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
 
@@ -175,16 +175,16 @@ def test_r5_sibling_probe_plan_shapes(spark):
     assert plan.count("Exchange") <= 2  # id repartition + final agg
     assert plan.count("MapInPandas") == 2  # encode stage + frame_sample
 
-    plan = _plan(probes.registry()["q46_bpe_token_count_vectorized"](spark, SF))
+    plan = _plan(probes.q42_ranksdict_route(spark, SF))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # never the row-at-a-time path
 
-    plan = _plan(probes.registry()["q47_token_len_quantiles_approx"](spark, SF))
+    plan = _plan(probes.q39_approx_route(spark, SF))
     assert "Window" not in plan and "row_number" not in plan
     assert "percentile_approx" in plan
     # q39 (the exact baseline) DOES carry the window — the contrast is
     # the documented crossover
-    assert "Window" in _plan(probes.registry()["q39_token_len_quantiles"](spark, SF))
+    assert "Window" in _plan(probes.q39_exact_route(spark, SF))
 
 
 def test_search_term_filter_reaches_parquet_scan(spark, tmp_path):
