@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from dataclasses import asdict
 from urllib.parse import urlparse
 
@@ -112,8 +113,22 @@ def _obs_value(observation, key: str, empty_hint: int | None = None) -> int:
             return 0
         raise
     if not got or key not in got:
+        if empty_hint and os.environ.get("CBWCIS_OBSDBG"):
+            # latch diagnostics (kept from the round-6 flake chase): an
+            # upstream counter proves rows flowed, yet the observation
+            # row is empty — record exactly what the latch delivered
+            print(
+                f"OBSDBG empty-row key={key} got={got!r} hint={empty_hint}",
+                file=sys.stderr, flush=True,
+            )
         return 0  # pruned CollectMetrics: empty row == all-zero
-    return int(got[key] or 0)
+    v = int(got[key] or 0)
+    if v == 0 and empty_hint and os.environ.get("CBWCIS_OBSDBG"):
+        print(
+            f"OBSDBG zero-latch key={key} got={got!r} hint={empty_hint}",
+            file=sys.stderr, flush=True,
+        )
+    return v
 
 
 class CrawlRun:
@@ -919,24 +934,46 @@ class CrawlRun:
                     max(1, self._seen_total() // 1_000_000 + 1)
                 )
 
-        # NOTE on the concurrent commits + the shared `parsed` cache:
-        # an accumulator-instrumented A/B (scripts/wide_pair_probe.py)
-        # measured parse-UDF rows executed == rows fetched exactly, so
-        # the concurrent first waves do NOT duplicate the cached parse
-        # work (the BlockManager's per-block compute locks serialize
-        # get-or-compute); a pre-pool noop materialization barrier was
-        # tried and only ADDED wall time.
+        # PHASED commit group (round-6 flake fix).  PySpark's
+        # Observation latches the FIRST query-end event that mentions
+        # its CollectMetrics node — and with fully-concurrent commit
+        # actions over shared cached plans, the node sits INSIDE the
+        # cache, so a sibling query that ends while another query's
+        # tasks are still materializing those cache blocks latches an
+        # empty or PARTIAL accumulator row.  Reproduced under stress
+        # (BENCH/stress_zero_delay_r6.log run 9: latched
+        # ``{'n_fetched': 0, 'job0': None, ...}`` while the upstream
+        # counter proved 34 rows flowed); partial latches are
+        # indistinguishable from legitimate small rounds post-hoc, so
+        # validation can't fix it.  The fix: the FRONTIER write runs
+        # ALONE first — its plan traverses EVERY observed subtree
+        # (decided via the deferred branch, parsed via cand and the
+        # missed broadcast, retry, cand) so it materializes every
+        # cache and its query-end is the first to mention each
+        # observation, latching fully-accumulated values; the
+        # remaining commits then run concurrently as pure cache
+        # readers whose later query-ends cannot overwrite a latched
+        # Observation.  (The old fully-concurrent group relied on the
+        # BlockManager's compute locks for WORK dedup — still true —
+        # but latch ORDER was unsynchronized; see
+        # scripts/obs_race_probe.py for the micro-repro harness.)
+        self.frontier.write_round(r + 1, next_frontier)
+        if cfg.dedup == "index" and job_obs:
+            # index mode: obs_idx rides `indexed`, which the frontier
+            # plan does NOT traverse — texts (a full scan of the
+            # indexed cache) must latch it before postings/seen start
+            self.texts.write_round(r, indexed.select("url", "text", "index_text"))
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(self.postings.write_round, r, postings_delta),
-                pool.submit(self.texts.write_round, r,
-                            indexed.select("url", "text", "index_text")),
                 # repartition (NOT coalesce): coalesce(1) would collapse
                 # the window+anti-join subplan into a single task
                 pool.submit(self.seen.write_round, r + 1,
                             new_seen.repartition(max(1, n_parts // 4))),
-                pool.submit(self.frontier.write_round, r + 1, next_frontier),
             ]
+            if not (cfg.dedup == "index" and job_obs):
+                futs.append(pool.submit(self.texts.write_round, r,
+                                        indexed.select("url", "text", "index_text")))
             if compact_state is not None:
                 futs.append(pool.submit(self.postings_state.write_round, r, compact_state))
             if seen_compact is not None:
