@@ -49,7 +49,7 @@ HEADLINE = [
     "q44_video_frame_sample",
     "q45_mjpeg_frame_sample",
     "q39_token_len_quantiles_routes",
-    "q54_mp4_frame_sample",
+    "q54_container_frame_sample",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))

@@ -1041,6 +1041,98 @@ def test_mp4_roundtrip_property(w, h, n, seed):
     assert got == (w, h, n, samples, "avc1")
 
 
+def test_mkv_mux_demux_roundtrip_and_rejection():
+    """Real Matroska/EBML demux: frame bytes recovered byte-exactly
+    from SimpleBlock payloads for a JPEG track and an opaque-codec
+    track (multi-cluster: >64 frames), cluster-before-tracks layouts
+    demux, and hostile payloads — truncation, laced blocks, absent
+    dims, child elements overrunning their parent — are refused with
+    None, never an exception."""
+    from cloud_based_web_crawling_indexing_system_spark.functions import (
+        multimodal as mm,
+    )
+
+    frames = [mm.encode_jpeg(7, 5, mm.test_pixels(7, 5, 3, seed=i), 3) for i in range(6)]
+    blob = mm.encode_mkv(7, 5, frames, fps=10, codec="V_MJPEG")
+    assert mm.decode_mkv(blob) == (7, 5, 6, frames, "V_MJPEG")
+
+    many = [bytes([i & 0xFF]) * (20 + i % 13) for i in range(150)]
+    blob2 = mm.encode_mkv(16, 9, many, codec="V_VP9")
+    assert mm.decode_mkv(blob2) == (16, 9, 150, many, "V_VP9")
+
+    # rejections: non-EBML, empty, truncated mid-element
+    assert mm.decode_mkv(b"definitely not matroska") is None
+    assert mm.decode_mkv(None) is None and mm.decode_mkv(b"") is None
+    assert mm.decode_mkv(blob[: len(blob) // 2]) is None
+
+    # helper to hand-build hostile segments
+    def seg(body: bytes) -> bytes:
+        header = mm._eb(mm._EBML_MAGIC, mm._eb(b"\x42\x82", b"matroska"))
+        return header + mm._eb(mm._MKV_SEGMENT, body)
+
+    track = mm._eb(
+        mm._MKV_TRACKS,
+        mm._eb(
+            mm._MKV_TRACKENTRY,
+            mm._eb(b"\xd7", b"\x01") + mm._eb(b"\x83", b"\x01")
+            + mm._eb(b"\x86", b"V_X")
+            + mm._eb(mm._MKV_VIDEO, mm._eb(b"\xb0", b"\x04") + mm._eb(b"\xba", b"\x03")),
+        ),
+    )
+    good_block = mm._eb(b"\xa3", b"\x81\x00\x00\x80" + b"FRAME")
+    cl = mm._eb(mm._MKV_CLUSTER, mm._eb(b"\xe7", b"\x00") + good_block)
+
+    # cluster BEFORE tracks still demuxes (single linear walk)
+    got = mm.decode_mkv(seg(cl + track))
+    assert got == (4, 3, 1, [b"FRAME"], "V_X")
+
+    # laced block -> refuse the file (never mis-segment)
+    laced = mm._eb(b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x02]) + b"XX")
+    assert mm.decode_mkv(
+        seg(track + mm._eb(mm._MKV_CLUSTER, laced))
+    ) is None
+
+    # a track with no Video dims -> refuse
+    dimless = mm._eb(
+        mm._MKV_TRACKS,
+        mm._eb(
+            mm._MKV_TRACKENTRY,
+            mm._eb(b"\xd7", b"\x01") + mm._eb(b"\x83", b"\x01")
+            + mm._eb(b"\x86", b"V_X"),
+        ),
+    )
+    assert mm.decode_mkv(seg(dimless + cl)) is None
+
+    # child size overrunning its parent -> refuse (forged size)
+    overrun = mm._eb(mm._MKV_CLUSTER, b"\xa3\x95" + b"\x81\x00\x00\x80AB")
+    assert mm.decode_mkv(seg(track + overrun)) is None
+
+    # WebM is the same container: a DocType of 'webm' demuxes too
+    webm = mm._eb(mm._EBML_MAGIC, mm._eb(b"\x42\x82", b"webm")) + mm._eb(
+        mm._MKV_SEGMENT, track + cl
+    )
+    assert mm.decode_mkv(webm) == (4, 3, 1, [b"FRAME"], "V_X")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_mkv_roundtrip_property(w, h, n, seed):
+    from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        decode_mkv,
+        encode_mkv,
+        test_pixels,
+    )
+
+    frames = [test_pixels(3 + (seed + i) % 9, 2, 1, seed=seed + i) for i in range(n)]
+    got = decode_mkv(encode_mkv(w, h, frames, codec="V_VP9"))
+    assert got == (w, h, n, frames, "V_VP9")
+
+
 def test_mp4_large_ftyp_and_forged_table_bounds():
     """Review r5 pins: (a) a DASH/ffmpeg-style ftyp carrying several
     compatible brands (>32 bytes) must still demux; (b) an stsz that

@@ -351,9 +351,11 @@ def test_multimodal_decode_and_frames(spark):
 
 
 def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
-    """One corpus, three codec paths: DIB AVI (demuxed, container
-    dims), MJPEG AVI (demuxed, dims from each frame's OWN SOF), and a
-    non-AVI payload (byte-slice fallback, demuxed=false, NULL dims)."""
+    """One corpus, every container path: DIB AVI (demuxed, container
+    dims), MJPEG AVI (demuxed, dims from each frame's OWN SOF), a
+    fake payload with no recognizable container (byte-slice fallback,
+    demuxed=false, NULL dims), an opaque-codec MP4, and an
+    opaque-codec Matroska (both demuxed with exact frame bytes)."""
     import pandas as pd
 
     from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
@@ -365,6 +367,7 @@ def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
     )
 
     from cloud_based_web_crawling_indexing_system_spark.functions.multimodal import (
+        encode_mkv,
         encode_mp4,
     )
 
@@ -373,11 +376,14 @@ def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
     mjpg = encode_avi(9, 5, mj_frames, fps=8, codec="MJPG")
     mp4_nals = [b"\x00\x00\x00\x01" + bytes([i]) * 30 for i in range(6)]
     mp4_avc = encode_mp4(11, 7, mp4_nals, codec="avc1")
+    vp9_obus = [bytes([0x40 | i]) * (25 + i) for i in range(6)]
+    mkv_vp9 = encode_mkv(13, 6, vp9_obus, codec="V_VP9")
     rows = [
         (0, "video", dib, "video/x-msvideo", "{}"),
         (1, "video", mjpg, "video/x-msvideo", "{}"),
         (2, "video", b"mkv-ish opaque payload " * 20, "video/x-matroska", "{}"),
         (3, "video", mp4_avc, "video/mp4", "{}"),
+        (4, "video", mkv_vp9, "video/webm", "{}"),
     ]
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "mime", "meta_json"]),
@@ -411,6 +417,14 @@ def test_frame_sample_mjpeg_sof_dims_and_fallback_mix(spark):
     )
     assert {r["frame_sha"] for r in by_id[3]} == {
         _hl.sha256(mp4_nals[i]).hexdigest() for i in (0, 2, 4)
+    }
+    # Matroska with an opaque codec (V_VP9): TRUE block payloads out
+    # of the EBML walk, container dims, never SOF-sniffed
+    assert len(by_id[4]) == 3 and all(
+        r["demuxed"] and (r["width"], r["height"]) == (13, 6) for r in by_id[4]
+    )
+    assert {r["frame_sha"] for r in by_id[4]} == {
+        _hl.sha256(vp9_obus[i]).hexdigest() for i in (0, 2, 4)
     }
 
 
