@@ -67,6 +67,11 @@ JOB_OBS_MAX = 64
 # crashed round's leak is undone by whoever steps next on the session
 _AQE_SAVED_KEY = "spark.cbwcis.aqeSaved"
 
+# profiling hook (scripts/jobs_probe.py): when set to a zero-arg
+# callable returning the DAGScheduler's job counter, step() records
+# per-phase Spark-job submission counts into the CBWCIS_PROFILE dict
+_JOBS_HOOK = None
+
 _METRICS_SCHEMA = (
     "round int, partition_id int, stage string, key string, value long, job_id string"
 )
@@ -156,6 +161,7 @@ class CrawlRun:
         self.texts = RoundTable(spark, os.path.join(root, "texts"))
         self.metrics = RoundTable(spark, os.path.join(root, "metrics"))
         self._jobs_df: DataFrame | None = None
+        self._job_dim: dict[str, dict] = {}
         self._robots_df: DataFrame | None = None
         self._pages_path: str | None = None
         self._pages_df: DataFrame | None = None
@@ -276,6 +282,16 @@ class CrawlRun:
         jobs_pdf = pd.read_parquet(os.path.join(self.root, "jobs.parquet"))
         self._check_layout(jobs_pdf)
         self._job_ids = sorted(jobs_pdf["job_id"])
+        # driver-side job-config dim for the literal-map J1 route
+        # (bounded by the same JOB_OBS_MAX gate before use)
+        self._job_dim = {
+            row.job_id: {
+                "depth_limit": int(row.depth_limit),
+                "seed_netloc": str(row.seed_netloc),
+                "domain": bool(row.domain),
+            }
+            for row in jobs_pdf.itertuples()
+        }
         self._jobs_df = self.spark.createDataFrame(jobs_pdf).cache()
         self._robots_df = self.spark.read.parquet(os.path.join(self.root, "robots")).cache()
         # slowest effective crawl delay across hosts (one tiny agg at
@@ -530,10 +546,15 @@ class CrawlRun:
         import time as _time
 
         prof: dict[str, float] = {}
+        _jobs_state = [(_JOBS_HOOK() if _JOBS_HOOK else 0)]
 
         def _mark(key: str, t0: float) -> float:
             t1 = _time.time()
             prof[key] = round(t1 - t0, 3)
+            if _JOBS_HOOK:  # profiling: Spark jobs submitted this phase
+                j = _JOBS_HOOK()
+                prof[f"{key}_jobs"] = j - _jobs_state[0]
+                _jobs_state[0] = j
             return t1
 
         # dims (and the PERSISTED cfg) must load before cfg is read:
@@ -768,8 +789,35 @@ class CrawlRun:
             F.col("z.freqs").cast("long").alias("frequency"),
         )
 
-        # children (P1 explode + F2/F3/F5 + canonicalization)
-        parents = parsed.join(F.broadcast(self._jobs_df), "job_id")
+        # children (P1 explode + F2/F3/F5 + canonicalization).  The
+        # job-config join (J1) has two physical routes: a bounded job
+        # dim (the common case — one job per submitted seed, same
+        # JOB_OBS_MAX bound the counter Observations use) is inlined
+        # as literal scalar maps — pure Catalyst lookups, no broadcast
+        # exchange, which at small rounds saves one stage-job of
+        # launch latency per round (scripts/jobs_probe.py) and at any
+        # scale keeps the child pipeline a single narrow stage; a huge
+        # job dim falls back to the broadcast hash join.  Lookup
+        # semantics match the inner join: an unknown job_id yields
+        # NULLs that the depth/F3 gates below filter out exactly as
+        # the join would have dropped the row.
+        if 0 < len(self._job_ids) <= JOB_OBS_MAX:
+            dim = self._job_dim
+            _jm = lambda fld: F.create_map(  # noqa: E731
+                *(lit for j in self._job_ids for lit in (F.lit(j), F.lit(dim[j][fld])))
+            )[F.col("job_id")]
+            parents = (
+                parsed.withColumn("depth_limit", _jm("depth_limit"))
+                .withColumn("seed_netloc", _jm("seed_netloc"))
+                .withColumn("domain", _jm("domain"))
+            )
+        else:
+            parents = parsed.join(
+                F.broadcast(
+                    self._jobs_df.select("job_id", "depth_limit", "seed_netloc", "domain")
+                ),
+                "job_id",
+            )
         kids = (
             parents.where(F.col("depth") < F.col("depth_limit"))
             .select(
@@ -957,7 +1005,9 @@ class CrawlRun:
         # BlockManager's compute locks for WORK dedup — still true —
         # but latch ORDER was unsynchronized; see
         # scripts/obs_race_probe.py for the micro-repro harness.)
+        t0 = _mark("commit_plan", t0)
         self.frontier.write_round(r + 1, next_frontier)
+        t0 = _mark("frontier_write", t0)
         if cfg.dedup == "index" and job_obs:
             # index mode: obs_idx rides `indexed`, which the frontier
             # plan does NOT traverse — texts (a full scan of the
@@ -980,6 +1030,7 @@ class CrawlRun:
                 futs.append(pool.submit(self.seen_state.write_round, r, seen_compact))
             for fut in futs:
                 fut.result()  # propagate failures BEFORE the marker
+        t0 = _mark("commit_pool", t0)
 
         if self._bloom is not None:
             # bloom shard update AFTER the pool (its directory swap
@@ -996,7 +1047,7 @@ class CrawlRun:
             # upto=r+1: the marker isn't written yet but seen(r+1) IS
             # in the bloom, so the count must include it
             self._bloom.sync_n_keys(self._seen_total(upto=r + 1))
-        t0 = _mark("commit", t0)
+        t0 = _mark("bloom_sync", t0)
 
         # the commit jobs materialized every observed dataframe, so the
         # round counters are already collected — no extra actions

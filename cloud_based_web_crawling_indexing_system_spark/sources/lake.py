@@ -85,13 +85,21 @@ class RoundTable:
 
     def write_round(self, rnd: int, df: DataFrame, meta: dict | None = None) -> None:
         """Replace-write round ``rnd`` then commit it (Iceberg:
-        ``overwrite(col('round')==rnd)`` in one snapshot)."""
+        ``overwrite(col('round')==rnd)`` in one snapshot).
+
+        The writer's schema rides in the commit marker so readers pass
+        it to ``spark.read.schema(...)`` — parquet footer inference on
+        an UNKNOWN schema is a per-read Spark job (one stage-job of
+        pure launch latency per round in the crawl loop, measured in
+        scripts/jobs_probe.py), while a marker read is a driver-side
+        os read the commit protocol already does.  (Iceberg: the
+        table metadata carries the schema the same way.)"""
         rd = self._round_dir(rnd)
         self._uncommit(rnd)
         if os.path.isdir(rd):
             shutil.rmtree(rd)  # idempotent replay of an uncommitted/re-run round
         df.write.mode("overwrite").parquet(rd)
-        self._commit(rnd, meta)
+        self._commit(rnd, {**(meta or {}), "schema": df.schema.jsonValue()})
 
     def write_round_pandas(self, rnd: int, pdf, schema, meta: dict | None = None) -> None:
         """Driver-side replace-write for TINY round payloads (metrics):
@@ -111,6 +119,13 @@ class RoundTable:
         tmp = os.path.join(rd, ".part-00000.parquet.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(rd, "part-00000.parquet"))
+        meta = dict(meta or {})
+        try:  # same marker-borne schema as write_round (skip on any
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            meta["schema"] = from_arrow_schema(table.schema).jsonValue()
+        except Exception:  # noqa: BLE001 — arrow-type gap: reader falls back to inference
+            pass
         self._commit(rnd, meta)
 
     def file_row_counts(self, rnd: int) -> list[int]:
@@ -137,10 +152,25 @@ class RoundTable:
                 total += pq.read_metadata(os.path.join(rd, f)).num_rows
         return total
 
+    def _marker_schema(self, rnd: int):
+        """Writer schema recorded in the commit marker (None for
+        tables written before markers carried one)."""
+        from pyspark.sql.types import StructType
+
+        mk = os.path.join(self._commit_dir, f"{rnd:06d}.json")
+        try:
+            with open(mk) as f:
+                js = json.load(f).get("schema")
+            return StructType.fromJson(js) if js else None
+        except (OSError, ValueError, KeyError):
+            return None
+
     def read_round(self, rnd: int) -> DataFrame:
         from pyspark.sql import functions as F
 
-        return self.spark.read.parquet(self._round_dir(rnd)).withColumn("round", F.lit(rnd))
+        st = self._marker_schema(rnd)
+        reader = self.spark.read.schema(st) if st is not None else self.spark.read
+        return reader.parquet(self._round_dir(rnd)).withColumn("round", F.lit(rnd))
 
     def read_all(
         self, upto: int | None = None, after: int | None = None
@@ -162,7 +192,12 @@ class RoundTable:
             rounds = [r for r in rounds if r > after]
         if not rounds:
             return None
-        df = self.spark.read.option("basePath", self._data_dir).parquet(
+        # data schema from the newest marker (stable per table); the
+        # hive partition column `round` is appended by partition
+        # discovery on top of the user-specified DATA schema
+        st = self._marker_schema(rounds[-1])
+        reader = self.spark.read.schema(st) if st is not None else self.spark.read
+        df = reader.option("basePath", self._data_dir).parquet(
             *(self._round_dir(r) for r in rounds)
         )
         return df.withColumn("round", F.col("round").cast("int"))
