@@ -88,6 +88,87 @@ def quality_cols(tokens_col: str, text_col: str) -> list[Column]:
     ]
 
 
+def with_repetition_cols(df, text_col: str, tokens_col: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 — the standard webtext
+    repetition filters):
+
+    - ``dup_line_char_frac`` — fraction of line characters that sit in
+      a line occurring more than once in the document (every copy
+      counts; lines are space-trimmed, empties dropped);
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — characters
+      covered by the most-repeated word n-gram (max over grams of
+      occurrences x gram length) over the document's character count.
+
+    Scale shape: pure per-row Catalyst higher-order functions over the
+    existing token arrays — a narrow stage, NO shuffle, no Python.
+    Duplicate detection sorts the per-document array and folds over
+    sorted neighbours / runs, so cost is O(L log L) in the number of
+    lines/grams of ONE document regardless of corpus size.  The DuckDB
+    oracle (plans/probes.q29) recomputes the same numbers by the
+    opposite algorithm (unnest + GROUP BY multiplicity), so the gate
+    compares two independent routes.
+
+    Returns ``df`` with exactly the three DOUBLE columns appended
+    (rounded to 6 so float noise never trips the value-hash gate).
+    """
+    txt_len = F.length(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+        )
+
+    # lines: split -> trim -> drop empties -> sort; a line's copies all
+    # count as duplicated chars when its multiplicity > 1 (neighbour
+    # test on the sorted array marks every copy)
+    lines = (
+        f"array_sort(filter(transform(split(coalesce({text_col}, ''), '\\n'), "
+        "x -> trim(x)), x -> x <> ''))"
+    )
+    df = df.withColumn("_rl", F.expr(lines))
+    df = df.withColumn(
+        "_rl_den", F.expr("aggregate(_rl, 0L, (a, x) -> a + length(x))")
+    ).withColumn(
+        "_rl_dup",
+        F.expr(
+            "CASE WHEN size(_rl) < 2 THEN 0L ELSE "
+            "aggregate(transform(sequence(0, size(_rl) - 1), i -> "
+            "IF((i > 0 AND _rl[i] = _rl[i-1]) OR "
+            "(i < size(_rl) - 1 AND _rl[i] = _rl[i+1]), length(_rl[i]), 0)), "
+            "0L, (a, x) -> a + CAST(x AS LONG)) END"
+        ),
+    )
+
+    # word n-grams from the SAME token arrays the probes already gate
+    # (sidesteps tokenizer-parity questions); best = max over grams of
+    # run-length x gram length via a sequential fold over the sorted
+    # gram array
+    def _best_gram(n: int) -> Column:
+        gram = " , ' ', ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+        gram = f"concat({gram})"
+        return F.expr(
+            f"CASE WHEN size({tokens_col}) < {n} THEN 0L ELSE "
+            f"aggregate(array_sort(transform(sequence(0, size({tokens_col}) - {n}), "
+            f"i -> {gram})), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0L), "
+            "(acc, g) -> named_struct("
+            "'prev', g, "
+            "'run', IF(g <=> acc.prev, acc.run + 1, 1), "
+            "'best', GREATEST(acc.best, CAST(IF(g <=> acc.prev, acc.run + 1, 1) "
+            "* length(g) AS LONG))), "
+            "acc -> acc.best) END"
+        )
+
+    out = df.select(
+        "*",
+        _frac(F.col("_rl_dup"), F.col("_rl_den")).alias("dup_line_char_frac"),
+        _frac(_best_gram(2), txt_len).alias("top_2gram_char_frac"),
+        _frac(_best_gram(3), txt_len).alias("top_3gram_char_frac"),
+    )
+    return out.drop("_rl", "_rl_den", "_rl_dup")
+
+
 def token_count_cols(text_col: str) -> list[Column]:
     """Whitespace tokens vs word-regex tokens vs a BPE-ish
     subword-piece count (regex splitting on letter/digit boundaries)."""

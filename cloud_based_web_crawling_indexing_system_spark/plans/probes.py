@@ -1172,7 +1172,35 @@ def q35(spark, sf_dir):
 @probe(
     "q29_doc_quality",
     f"""
-    {_TOKS_CTE}
+    {_TOKS_CTE},
+    -- Gopher-style repetition signals, by the OPPOSITE algorithm to
+    -- the engine (unnest + GROUP BY multiplicity vs sorted-array
+    -- neighbour fold — two independent routes, one hash gate):
+    lns AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
+            FROM documents)
+      WHERE trim(l) <> ''),
+    lnc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+            FROM lns GROUP BY doc_id, line),
+    dupl AS (
+      SELECT doc_id, SUM(c * ln) AS lden,
+             SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS ldup
+      FROM lnc GROUP BY doc_id),
+    g2 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t), 1)),
+                                        i -> t[i] || ' ' || t[i + 1])) AS gram
+           FROM toks),
+    g3 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+           FROM toks),
+    b2 AS (SELECT doc_id, MAX(c * length(gram)) AS best FROM
+             (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+    b3 AS (SELECT doc_id, MAX(c * length(gram)) AS best FROM
+             (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram)
+           GROUP BY doc_id)
     SELECT doc_id, len(t) AS n_tokens,
            CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
            CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stopwords,
@@ -1181,11 +1209,24 @@ def q35(spark, sf_dir):
                            / len(t), 6) END AS stopword_ratio,
            CASE WHEN len(t) >= 40 AND
                      CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(t) < 0.12
-                THEN 'high' ELSE 'low' END AS quality
+                THEN 'high' ELSE 'low' END AS quality,
+           CASE WHEN coalesce(dupl.lden, 0) = 0 THEN 0.0
+                ELSE ROUND(CAST(dupl.ldup AS DOUBLE) / dupl.lden, 6) END
+             AS dup_line_char_frac,
+           CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                ELSE ROUND(CAST(coalesce(b2.best, 0) AS DOUBLE)
+                           / length(coalesce(text, '')), 6) END AS top_2gram_char_frac,
+           CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                ELSE ROUND(CAST(coalesce(b3.best, 0) AS DOUBLE)
+                           / length(coalesce(text, '')), 6) END AS top_3gram_char_frac
     FROM toks JOIN documents USING (doc_id)
+    LEFT JOIN dupl USING (doc_id)
+    LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
     """,
 )
 def q29(spark, sf_dir):
+    from ..functions.quality import with_repetition_cols
+
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     n_stop = F.expr(f"size(filter(t, x -> x IN ({_SW_SQL})))")
     # zero-token docs have ratio 0.0 by definition (guarded: ANSI mode
@@ -1193,6 +1234,7 @@ def q29(spark, sf_dir):
     ratio = F.when(
         F.size("t") > 0, n_stop.cast("double") / F.size("t")
     ).otherwise(F.lit(0.0))
+    d = with_repetition_cols(d, "text", "t")
     return d.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
@@ -1200,6 +1242,9 @@ def q29(spark, sf_dir):
         n_stop.cast("long").alias("n_stopwords"),
         F.round(ratio, 6).alias("stopword_ratio"),
         F.when((F.size("t") >= 40) & (ratio < 0.12), "high").otherwise("low").alias("quality"),
+        "dup_line_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
     )
 
 

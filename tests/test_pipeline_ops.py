@@ -55,6 +55,50 @@ def test_quality_and_token_count_cols(spark):
     assert r0["n_ws_tokens"] == 5 and r0["n_word_tokens"] == 5
 
 
+def test_repetition_cols_hand_computed(spark):
+    """Gopher repetition signals against hand-worked fixtures (the
+    probe gate only proves Spark==DuckDB; this pins both to the
+    intended numbers)."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        with_repetition_cols,
+    )
+
+    docs = [
+        # 4 kept lines: 'dup'(x2, 3 chars each), 'one', 'two ' -> trim 'two'
+        # dup chars = 6, total = 12 -> 0.5
+        "dup\none\ndup\n\n  \ntwo",
+        # tokens: a b a b a -> 2-grams: 'a b'(x2), 'b a'(x2) -> best 2*3=6
+        # 3-grams: 'a b a'(x2) ... best 2*5=10; text len 9
+        "a b a b a",
+        # no repetition at all; single line, distinct tokens
+        "alpha beta gamma",
+        # degenerate: empty text
+        "",
+        # single token: no grams
+        "word",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(docs))), "text": docs})
+    ).withColumn("t", tokens("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_cols(df, "text", "t")
+        .select("doc_id", "dup_line_char_frac", "top_2gram_char_frac", "top_3gram_char_frac")
+        .collect()
+    }
+    assert rows[0]["dup_line_char_frac"] == 0.5
+    assert rows[1]["top_2gram_char_frac"] == round(6 / 9, 6)
+    assert rows[1]["top_3gram_char_frac"] == round(10 / 9, 6)
+    # distinct tokens: the best gram still covers its own chars once
+    assert rows[2]["dup_line_char_frac"] == 0.0
+    assert rows[2]["top_2gram_char_frac"] == round(len("alpha beta") / len("alpha beta gamma"), 6)
+    for i in (3, 4, 5):
+        assert rows[i]["dup_line_char_frac"] == 0.0
+        assert rows[i]["top_3gram_char_frac"] == 0.0
+    assert rows[4]["top_2gram_char_frac"] == 0.0 and rows[5]["top_2gram_char_frac"] == 0.0
+
+
 def test_brute_force_vs_ann_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
