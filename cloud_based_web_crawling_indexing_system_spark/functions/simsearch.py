@@ -46,6 +46,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -761,6 +762,145 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rk")
+    )
+
+
+def _lit_mat(mat: list[list[float]]) -> str:
+    """array<array<double>> literal SQL for a small centroid matrix."""
+    return "array(" + ", ".join(_lit_vec(c) for c in mat) + ")"
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    buffer: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed_sample_target: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed production ANN shape at 100 TB (the
+    FAISS ``IVFx,PQy`` index expressed as DataFrame ops):
+
+    1. **Coarse quantizer**: deterministic L2 k-means cells; every
+       corpus row gets a ``cell`` by a pure argmin expression (zero
+       shuffle).
+    2. **Residual PQ**: codebooks are trained on ``x − centroid(cell)``
+       (residuals carry the in-cell structure PQ must resolve — raw-
+       vector codebooks would re-spend codes on the between-cell
+       offsets the coarse step already removed), then every row is
+       encoded to ``m`` small codes — one narrow codegen pass.
+    3. **Query**: per (query, probed cell) an exact m×k lookup table of
+       subspace distances from the query's OWN residual in that cell
+       (Q·nprobe·m·k floats, driver-built, broadcast).  Candidates are
+       the codes rows of the probed cells only — a broadcast equi-join
+       on ``cell``, never a corpus cross join — scored by m lookups,
+       top ``buffer·k`` per query survive.
+    4. **Exact re-rank** touches full-precision vectors for the
+       surviving buffer·k·Q rows only.
+
+    Cost shape: train = (1 + m) bounded deterministic k-means fits;
+    encode = one narrow pass; query scan reads m bytes of codes per
+    corpus row in nprobe/n_cells of the corpus.  Determinism: every
+    stage is either a literal expression or the integer-scaled k-means
+    fit — same input ⇒ same output under any partitioning (pinned in
+    tests/test_pipeline_ops.py together with recall floors vs exact
+    L2 brute force)."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    rows = embeddings.where(F.expr(f"{vec_col} IS NOT NULL"))
+    cents = kmeans_l2(
+        rows, n_cells, n_iters, id_col=id_col, vec_col=vec_col,
+        seed_sample_target=seed_sample_target,
+    )
+    if not cents:
+        raise ValueError("ivfpq_topk: empty corpus (no non-NULL vectors)")
+    cmat = _lit_mat(cents)
+    resid = F.expr(
+        f"zip_with({vec_col}, element_at({cmat}, cell + 1), (x, c) -> x - c)"
+    )
+    cells = rows.withColumn("cell", _argmin_l2_col(cents, vec_col)).withColumn(
+        "resid", resid
+    )
+    books = pq_train(
+        cells, m, n_codes, n_iters, id_col=id_col, vec_col="resid",
+        dim=dim, seed_sample_target=seed_sample_target,
+    )
+    # encode inline (pq_encode's expressions, plus the cell column) so
+    # (id, cell, codes) is ONE narrow pass — no join back to cells
+    sub_len = dim // m
+    code_cols = []
+    for s, book in enumerate(books):
+        sliced = f"slice(resid, {s * sub_len + 1}, {sub_len})"
+        code_cols.append(_argmin_l2_col(book, sliced))
+    codes = cells.select(id_col, "cell", F.array(*code_cols).alias("codes"))
+
+    # per-(query, probed cell) residual LUTs — driver-side exact math
+    # over the bounded query set, broadcast to the codes scan
+    sub = dim // m
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[1]]
+        dists = []
+        for i, c in enumerate(cents):
+            acc = 0.0
+            for a, b in zip(qv, c):
+                acc += (a - b) * (a - b)
+            dists.append((acc, i))
+        for _, cell in sorted(dists)[:nprobe]:
+            qr = [a - b for a, b in zip(qv, cents[cell])]
+            lut = []
+            for s, book in enumerate(books):
+                qs = qr[s * sub : (s + 1) * sub]
+                lut.append(
+                    [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+                )
+            lut_rows.append({"query_id": int(r[0]), "cell": cell, "lut": lut})
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    luts = spark.createDataFrame(
+        pd.DataFrame(lut_rows), "query_id long, cell int, lut array<array<double>>"
+    )
+    pairs = (
+        codes.join(F.broadcast(luts), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "adc_dist",
+            F.expr(
+                "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+                "(c, i) -> element_at(element_at(lut, i + 1), c + 1)), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    cand = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= buffer * k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    ed = rows.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    l2 = F.expr(
+        "aggregate(zip_with(q_vec, n_vec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    ranked = (
+        cand.join(F.broadcast(qd), "query_id").join(ed, "neighbor_id").withColumn("l2_dist", l2)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rk")
     )

@@ -818,6 +818,99 @@ def test_pq_adc_recall_compression_and_determinism(spark):
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
 
 
+def test_ivfpq_recall_determinism_and_cell_restriction(spark):
+    """IVF-PQ composed ANN (the FAISS IVFx,PQy production shape):
+    residual-PQ ADC within the query's nprobe cells + exact re-rank.
+
+    Floors: clustered corpus recall@5 >= 0.9 at nprobe=2 (the coarse
+    step lands queries in their own cluster's cell; residual codes
+    resolve in-cell order); probing ALL cells with a generous buffer
+    == plain PQ's regime, recall@5 >= 0.9 on the same fixture.
+    Determinism: identical result sets under 1/7-way repartitioning.
+    Plan: the candidate join is a broadcast equi-join on cell — no
+    corpus cross join anywhere in the ADC stage."""
+    from pyspark.sql import Window
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+        ivfpq_topk,
+    )
+
+    DIM, C, M = 16, 4, 20
+
+    def vec(c, j):
+        v = [0.0] * DIM
+        v[c] = 1.0
+        v[(c * 7 + j) % DIM] += 0.05 + 0.01 * j
+        v[(c * 3 + 2 * j) % DIM] += 0.03
+        return v
+
+    rows = [
+        {"vec_id": c * M + j, "embedding": vec(c, j)} for c in range(C) for j in range(M)
+    ]
+    clustered = spark.createDataFrame(
+        pd.DataFrame(rows), "vec_id long, embedding array<double>"
+    )
+    cq = clustered.where(F.col("vec_id") % 17 == 0)
+
+    def exact_l2(embeddings, queries, k):
+        qd = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        pairs = embeddings.crossJoin(F.broadcast(qd)).where(F.col("vec_id") != F.col("query_id"))
+        d = F.expr(
+            "aggregate(zip_with(embedding, qv, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0.0 AS DOUBLE), (a,v) -> a+v)"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in pairs.withColumn("d", d)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        }
+
+    ex = exact_l2(clustered, cq, 5)
+    out = ivfpq_topk(
+        clustered, cq, k=5, n_cells=C, nprobe=2, m=4, n_codes=8, buffer=8, dim=DIM
+    )
+    got = out.collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in got}
+    rc = len(ex & ap) / len(ex)
+    assert rc >= 0.9, rc
+    assert all(r["l2_dist"] >= 0 for r in got)  # exact re-rank distances
+
+    # full-probe regime: nprobe = n_cells degrades gracefully to plain
+    # PQ (every candidate visible to ADC)
+    apf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            clustered, cq, k=5, n_cells=C, nprobe=C, m=4, n_codes=8, buffer=8, dim=DIM
+        ).collect()
+    }
+    assert len(ex & apf) / len(ex) >= 0.9
+
+    # determinism under repartitioning (integer-scaled fits + literal
+    # expressions end-to-end)
+    r1 = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            clustered.repartition(1), cq, k=5, n_cells=C, nprobe=2, m=4,
+            n_codes=8, buffer=8, dim=DIM
+        ).collect()
+    )
+    r7 = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            clustered.repartition(7, "vec_id"), cq, k=5, n_cells=C, nprobe=2,
+            m=4, n_codes=8, buffer=8, dim=DIM
+        ).collect()
+    )
+    assert r1 == r7
+    # plan shape: no cartesian/cross anywhere; candidate join broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_components_fixpoint_and_union_find_reference(spark):
     """q53's iteration-count contract: _CC_ITERS hash-min rounds reach
     the FIXPOINT on the fixture graph (one more round changes
