@@ -31,7 +31,10 @@ HEADLINE = [
     "q07_top3_orders_per_customer",
     "q11_events_hourly",
     "q12_sessionize",
-    "q18_term_freq_top50",
+    # r6: q18 absorbed q19's bigram route (kind column) — renamed so
+    # round-over-round tooling never compares the old 1-route walls
+    # against the merged 2-route work under the same key
+    "q18_term_ngram_top50",
     "q20_postings",
     "q21_search_and",
     "q24_minhash_lsh_pairs",

@@ -20,7 +20,8 @@ from .terms import WORD_RE
 from .text_ops import stopword_count
 
 __all__ = [
-    "lang_id", "lang_id_udf", "quality_cols", "token_count_cols",
+    "lang_id", "lang_id_udf", "quality_cols", "with_repetition_cols",
+    "lm_unigram_ce_df", "token_count_cols",
     "fingerprint_col", "BPE_MERGES", "bpe_encode", "bpe_chain_sql",
     "bpe_piece_count_cols", "bpe_stats_udf",
 ]
@@ -167,6 +168,64 @@ def with_repetition_cols(df, text_col: str, tokens_col: str):
         _frac(_best_gram(3), txt_len).alias("top_3gram_char_frac"),
     )
     return out.drop("_rl", "_rl_den", "_rl_dup")
+
+
+def lm_unigram_ce_df(
+    docs,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+):
+    """Unigram-LM cross-entropy scoring (the CCNet quality signal,
+    Wenzek et al. 2019): fit the corpus's own top-V unigram counts,
+    then score each document
+
+        ce = ln(N) − mean_tokens ln(count(token))      (OOV count → 1)
+
+    lower = more-stereotypical text.  Model fit is ONE map-side-
+    combined token-count aggregation; the model is bounded (V counts +
+    one total, collected driver-side, inlined as a literal scalar
+    map); scoring is a pure per-row Catalyst fold over the token
+    array — no explode, no per-doc shuffle, no Python.  Zero-token
+    docs are dropped (no perplexity is defined for them).  Returns
+    (id_col, n_tokens, ce) with ce ROUND(,4)-ed — both this route and
+    the DuckDB oracle (plans/probes.q55) take ln of the SAME integer
+    counts, so the float tolerance class matches the cosine probes."""
+    import math
+
+    tok = docs.select(F.explode(tokens_col).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = cnt.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size).collect()
+    n_total = cnt.agg(F.sum("c")).head()[0]
+    if not n_total:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, ce double"
+        )
+    cmap = F.create_map(
+        *(lit for r in vocab for lit in (F.lit(r["term"]), F.lit(int(r["c"]))))
+    )
+    return (
+        docs.where(F.size(tokens_col) > 0)
+        .withColumn(
+            "_sumln",
+            F.aggregate(
+                F.transform(
+                    tokens_col,
+                    lambda x: F.log(F.coalesce(cmap[x], F.lit(1)).cast("double")),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x,
+            ),
+        )
+        .select(
+            id_col,
+            F.size(tokens_col).cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(math.log(float(n_total))) - F.col("_sumln") / F.size(tokens_col),
+                4,
+            ).alias("ce"),
+        )
+    )
 
 
 def token_count_cols(text_col: str) -> list[Column]:

@@ -505,45 +505,40 @@ _TOKS_CTE = (
 
 
 @probe(
-    "q18_term_freq_top50",
+    "q18_term_ngram_top50",
     f"""
     {_TOKS_CTE}
-    SELECT term, COUNT(*) AS freq FROM (SELECT unnest(t) AS term FROM toks)
-    GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
+    SELECT * FROM (
+      SELECT 'uni' AS kind, term, COUNT(*) AS freq
+      FROM (SELECT unnest(t) AS term FROM toks)
+      GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'bi' AS kind, term, COUNT(*) AS freq FROM (
+        SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS term
+        FROM toks)
+      GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50)
     """,
 )
 def q18(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("term"))
-        .limit(50)
-    )
+    """Unigram + bigram corpus top-50 in ONE registry entry (the two
+    routes were q18/q19 until round 6; merged — same sibling-merge move
+    as q27/q38 — to free a registry slot inside the driver's 50-row
+    correctness window for q55)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
 
+    def top50(col, kind):
+        return (
+            d.select(F.explode(col).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("term"))
+            .limit(50)
+            .select(F.lit(kind).alias("kind"), "term", "freq")
+        )
 
-@probe(
-    "q19_bigram_top50",
-    f"""
-    {_TOKS_CTE}
-    SELECT term, COUNT(*) AS freq FROM (
-      SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
-                    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS term
-      FROM toks)
-    GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
-    """,
-)
-def q19(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "documents")
-        .withColumn("toks", tokens("text"))
-        .select(F.explode(bigrams("toks")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("term"))
-        .limit(50)
-    )
+    return top50(F.col("toks"), "uni").unionByName(top50(bigrams("toks"), "bi"))
 
 
 _POSTINGS_CTE = f"""
@@ -2528,4 +2523,65 @@ def q49(spark, sf_dir):
         .select(F.expr("parse_url(url, 'HOST')").alias("host"))
         .groupBy("host")
         .agg(F.count("*").alias("n_urls"))
+    )
+
+
+@probe(
+    "q55_lm_unigram_ce",
+    f"""
+    {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    voc AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 256),
+    scored AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             SUM(ln(CAST(coalesce(voc.c, 1) AS DOUBLE))) AS sumln
+      FROM tok LEFT JOIN voc USING (term) GROUP BY tok.doc_id),
+    ce AS (
+      SELECT doc_id, n_tokens,
+             ROUND(ln(CAST((SELECT n FROM tot) AS DOUBLE))
+                   - sumln / n_tokens, 4) AS ce
+      FROM scored)
+    SELECT doc_id, n_tokens, ce,
+           CASE NTILE(3) OVER (ORDER BY ce ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ce
+    """,
+)
+def q55(spark, sf_dir):
+    """Unigram-LM cross-entropy quality scoring + head/middle/tail
+    bucketing — the CCNet recipe (Wenzek et al. 2019: score each
+    document by LM perplexity, split the corpus into quality tertiles)
+    with the LM = the corpus's own top-V unigram distribution:
+
+        ce(doc) = ln(N) − mean_tokens ln(count(token))
+
+    (count from the corpus unigram table, OOV→1, N = total tokens).
+    Lower ce = more-stereotypical text = 'head'.
+
+    Scale shape: ONE map-side-combined token-count aggregation builds
+    the model; the model itself is bounded (V=256 counts, collected
+    driver-side and inlined as a literal scalar map — same bounded-
+    model-collect discipline as the IVF centroids); scoring is then a
+    pure per-row Catalyst fold over the token array — no explode, no
+    per-doc shuffle, no Python.  The tertile here is the exact-rank
+    baseline (single global NTILE window — fine at bench SF); at
+    production scale the split comes from percentile_approx cutpoints
+    (q47's machinery) applied as a plain filter.  Float discipline:
+    both engines take ln of the SAME integers and the score is
+    ROUND(,4)-ed before the rank, with doc_id tiebreak — the same
+    tolerance class as the cosine probes.
+    """
+    from ..functions.quality import lm_unigram_ce_df
+
+    d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    scored = lm_unigram_ce_df(d, "t", id_col="doc_id", vocab_size=256)
+    w = Window.orderBy(F.asc("ce"), F.asc("doc_id"))
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "n_tokens", "ce",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle")
+        .otherwise("tail").alias("bucket"),
     )

@@ -818,6 +818,44 @@ def test_pq_adc_recall_compression_and_determinism(spark):
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
 
 
+def test_lm_unigram_ce_hand_computed_with_oov(spark):
+    """CCNet-style unigram-LM cross-entropy against a hand-worked
+    fixture where vocab_size < distinct terms, so the OOV (count→1)
+    path — unreachable on the small-vocabulary sf testdata — is
+    exercised.  Corpus counts: a=3, b=1, c=4 over N=8 tokens;
+    vocab_size=2 keeps {c, a}, so b is OOV (count→1, which equals its
+    real count — chosen so the expected numbers stay exact)."""
+    import math
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        lm_unigram_ce_df,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a a a", "b c", "c c c", ""],
+            }
+        )
+    ).withColumn("t", tokens("text"))
+    out = {
+        r["doc_id"]: r
+        for r in lm_unigram_ce_df(docs, "t", vocab_size=2).collect()
+    }
+    n = 8.0  # total corpus tokens: 3+2+3 (doc3 empty)
+    # corpus counts: a=3, b=1, c=4 -> vocab keeps {c(4), a(3)}; b is OOV->1
+    assert out[0]["ce"] == round(math.log(n) - math.log(3.0), 4)  # all 'a'
+    assert out[1]["ce"] == round(
+        math.log(n) - (math.log(1.0) + math.log(4.0)) / 2, 4
+    )  # 'b'(OOV) + 'c'
+    assert out[2]["ce"] == round(math.log(n) - math.log(4.0), 4)  # all 'c'
+    assert 3 not in out  # zero-token doc dropped
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+    # more-stereotypical text scores lower
+    assert out[2]["ce"] < out[0]["ce"] < out[1]["ce"]
+
+
 def test_ivfpq_recall_determinism_and_cell_restriction(spark):
     """IVF-PQ composed ANN (the FAISS IVFx,PQy production shape):
     residual-PQ ADC within the query's nprobe cells + exact re-rank.
