@@ -183,37 +183,55 @@ def lm_unigram_ce_df(
         ce = ln(N) − mean_tokens ln(count(token))      (OOV count → 1)
 
     lower = more-stereotypical text.  Model fit is ONE map-side-
-    combined token-count aggregation; the model is bounded (V counts +
-    one total, collected driver-side, inlined as a literal scalar
-    map); scoring is a pure per-row Catalyst fold over the token
-    array — no explode, no per-doc shuffle, no Python.  Zero-token
-    docs are dropped (no perplexity is defined for them).  Returns
-    (id_col, n_tokens, ce) with ce ROUND(,4)-ed — both this route and
-    the DuckDB oracle (plans/probes.q55) take ln of the SAME integer
-    counts, so the float tolerance class matches the cosine probes."""
+    combined token-count aggregation (persisted across the two bounded
+    collects: top-V rows + the scalar total); scoring is a pure
+    per-row Catalyst fold over the token array — no explode, no
+    per-doc shuffle, no Python.  Zero-token docs are dropped (no
+    perplexity is defined for them).
+
+    Float discipline (same integer-scaled trick as the k-means fit):
+    each ln is taken ONCE per distinct count, scaled to a micro-nat
+    LONG (``floor(ln(c)·1e6 + 0.5)``) — in Python for the engine's
+    literal map, in SQL by the oracle — so the per-doc reduction is an
+    EXACT integer sum in any order, and the final double expression
+    ``round((lnN_i − sum/L)/1e6, 4)`` runs the identical IEEE ops on
+    identical integers in both engines.  The only residual parity risk
+    is a per-distinct-count rounding boundary (static per corpus, not
+    per doc, not per run).  Returns (id_col, n_tokens, ce)."""
     import math
 
+    def _micro_ln(c: int) -> int:
+        return math.floor(math.log(float(c)) * 1e6 + 0.5)
+
     tok = docs.select(F.explode(tokens_col).alias("term"))
-    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
-    vocab = cnt.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size).collect()
-    n_total = cnt.agg(F.sum("c")).head()[0]
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c")).persist()
+    try:
+        vocab = cnt.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size).collect()
+        n_total = cnt.agg(F.sum("c")).head()[0]
+    finally:
+        cnt.unpersist()
     if not n_total:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, n_tokens long, ce double"
         )
     cmap = F.create_map(
-        *(lit for r in vocab for lit in (F.lit(r["term"]), F.lit(int(r["c"]))))
+        *(
+            lit
+            for r in vocab
+            for lit in (F.lit(r["term"]), F.lit(_micro_ln(int(r["c"]))))
+        )
     )
+    ln_n_i = _micro_ln(int(n_total))  # micro-nat ln of the total, OOV lp = ln(1) = 0
     return (
         docs.where(F.size(tokens_col) > 0)
         .withColumn(
-            "_sumln",
+            "_sumlpi",
             F.aggregate(
                 F.transform(
                     tokens_col,
-                    lambda x: F.log(F.coalesce(cmap[x], F.lit(1)).cast("double")),
+                    lambda x: F.coalesce(cmap[x], F.lit(0)).cast("long"),
                 ),
-                F.lit(0.0).cast("double"),
+                F.lit(0).cast("long"),
                 lambda a, x: a + x,
             ),
         )
@@ -221,7 +239,11 @@ def lm_unigram_ce_df(
             id_col,
             F.size(tokens_col).cast("long").alias("n_tokens"),
             F.round(
-                F.lit(math.log(float(n_total))) - F.col("_sumln") / F.size(tokens_col),
+                (
+                    F.lit(ln_n_i).cast("double")
+                    - F.col("_sumlpi").cast("double") / F.size(tokens_col)
+                )
+                / F.lit(1000000.0),
                 4,
             ).alias("ce"),
         )

@@ -659,6 +659,59 @@ def pq_encode(
     )
 
 
+# the ADC distance fold, shared by every PQ route: m table lookups
+# per row, no vector math in the scan
+_ADC_FOLD_EXPR = (
+    "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+    "(c, i) -> element_at(element_at(lut, i + 1), c + 1)), "
+    "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+)
+
+
+def _subspace_lut(qv: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Exact per-subspace squared-L2 table of ``qv`` (raw or residual)
+    against every codebook centroid — the m×k ADC lookup table."""
+    sub = len(codebooks[0][0])
+    lut = []
+    for s, book in enumerate(codebooks):
+        qs = qv[s * sub : (s + 1) * sub]
+        lut.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+        )
+    return lut
+
+
+def _exact_l2_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-L2 re-rank of (query_id, neighbor_id) candidate pairs
+    against full-precision vectors — touches buffer·k·Q rows only.
+    Shared tail of pq_topk / ivfpq_topk."""
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    ed = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    l2 = F.expr(
+        "aggregate(zip_with(q_vec, n_vec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    pairs = (
+        cand.select("query_id", "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .join(ed, "neighbor_id")
+        .withColumn("l2_dist", l2)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rk")
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -671,26 +724,17 @@ def pq_adc_topk(
     exact subspace distances (driver-side, Q·m·k floats), broadcast
     against the codes table; per-row distance = m ``element_at``
     lookups folded JVM-side — no vector math anywhere in the scan.
-    Returns (query_id, neighbor_id, adc_dist, rk)."""
+    NULL query vectors are skipped (cosine/L2 undefined), matching the
+    corpus-side non-NULL discipline.  Returns (query_id, neighbor_id,
+    adc_dist, rk)."""
     import pandas as pd
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     q_rows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = [float(x) for x in r[1]]
-        lut = []
-        for s, book in enumerate(codebooks):
-            qs = qv[s * sub : (s + 1) * sub]
-            row = []
-            for c in book:
-                acc = 0.0
-                for a, b in zip(qs, c):
-                    acc += (a - b) * (a - b)
-                row.append(acc)
-            lut.append(row)
-        lut_rows.append({"query_id": int(r[0]), "lut": lut})
+    lut_rows = [
+        {"query_id": int(r[0]), "lut": _subspace_lut([float(x) for x in r[1]], codebooks)}
+        for r in q_rows
+        if r[1] is not None
+    ]
     spark = codes.sparkSession
     luts = spark.createDataFrame(
         pd.DataFrame(lut_rows),
@@ -699,14 +743,7 @@ def pq_adc_topk(
     pairs = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "adc_dist",
-            F.expr(
-                "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
-                "(c, i) -> element_at(element_at(lut, i + 1), c + 1)), "
-                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            ),
-        )
+        .withColumn("adc_dist", F.expr(_ADC_FOLD_EXPR))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
@@ -743,28 +780,7 @@ def pq_topk(
     books = pq_train(embeddings, m, n_codes, n_iters, id_col, vec_col, dim)
     codes = pq_encode(embeddings, books, id_col, vec_col)
     cand = pq_adc_topk(codes, queries, books, k=buffer * k, id_col=id_col)
-    qd = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    ed = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    )
-    l2 = F.expr(
-        "aggregate(zip_with(q_vec, n_vec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-    )
-    pairs = (
-        cand.select("query_id", "neighbor_id")
-        .join(F.broadcast(qd), "query_id")
-        .join(ed, "neighbor_id")
-        .withColumn("l2_dist", l2)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "l2_dist", "rk")
-    )
+    return _exact_l2_rerank(cand, queries, embeddings, k, id_col, vec_col)
 
 
 def _lit_mat(mat: list[list[float]]) -> str:
@@ -827,83 +843,68 @@ def ivfpq_topk(
     resid = F.expr(
         f"zip_with({vec_col}, element_at({cmat}, cell + 1), (x, c) -> x - c)"
     )
-    cells = rows.withColumn("cell", _argmin_l2_col(cents, vec_col)).withColumn(
-        "resid", resid
+    # cells is read m+1 times (per-subspace pq_train fits + the encode
+    # pass): persist it so the n_cells-way argmin + residual zip_with
+    # run ONCE, not per reader (review r6 — the same uncached-re-read
+    # class pq_train's internal slice persist fixed in r5)
+    cells = (
+        rows.withColumn("cell", _argmin_l2_col(cents, vec_col))
+        .withColumn("resid", resid)
+        .persist()
     )
-    books = pq_train(
-        cells, m, n_codes, n_iters, id_col=id_col, vec_col="resid",
-        dim=dim, seed_sample_target=seed_sample_target,
-    )
-    # encode inline (pq_encode's expressions, plus the cell column) so
-    # (id, cell, codes) is ONE narrow pass — no join back to cells
-    sub_len = dim // m
-    code_cols = []
-    for s, book in enumerate(books):
-        sliced = f"slice(resid, {s * sub_len + 1}, {sub_len})"
-        code_cols.append(_argmin_l2_col(book, sliced))
-    codes = cells.select(id_col, "cell", F.array(*code_cols).alias("codes"))
-
-    # per-(query, probed cell) residual LUTs — driver-side exact math
-    # over the bounded query set, broadcast to the codes scan
-    sub = dim // m
-    q_rows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = [float(x) for x in r[1]]
-        dists = []
-        for i, c in enumerate(cents):
-            acc = 0.0
-            for a, b in zip(qv, c):
-                acc += (a - b) * (a - b)
-            dists.append((acc, i))
-        for _, cell in sorted(dists)[:nprobe]:
-            qr = [a - b for a, b in zip(qv, cents[cell])]
-            lut = []
-            for s, book in enumerate(books):
-                qs = qr[s * sub : (s + 1) * sub]
-                lut.append(
-                    [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
-                )
-            lut_rows.append({"query_id": int(r[0]), "cell": cell, "lut": lut})
-    import pandas as pd
-
-    spark = embeddings.sparkSession
-    luts = spark.createDataFrame(
-        pd.DataFrame(lut_rows), "query_id long, cell int, lut array<array<double>>"
-    )
-    pairs = (
-        codes.join(F.broadcast(luts), "cell")
-        .where(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "adc_dist",
-            F.expr(
-                "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
-                "(c, i) -> element_at(element_at(lut, i + 1), c + 1)), "
-                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-            ),
+    try:
+        books = pq_train(
+            cells, m, n_codes, n_iters, id_col=id_col, vec_col="resid",
+            dim=dim, seed_sample_target=seed_sample_target,
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
-    cand = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= buffer * k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-    )
-    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    ed = rows.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
-    l2 = F.expr(
-        "aggregate(zip_with(q_vec, n_vec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-    )
-    ranked = (
-        cand.join(F.broadcast(qd), "query_id").join(ed, "neighbor_id").withColumn("l2_dist", l2)
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
-    return (
-        ranked.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "l2_dist", "rk")
-    )
+        # encode inline (pq_encode's expressions, plus the cell column)
+        # so (id, cell, codes) is ONE narrow pass — no join to cells
+        sub = dim // m
+        code_cols = []
+        for s, book in enumerate(books):
+            sliced = f"slice(resid, {s * sub + 1}, {sub})"
+            code_cols.append(_argmin_l2_col(book, sliced))
+        codes = cells.select(id_col, "cell", F.array(*code_cols).alias("codes"))
+
+        # per-(query, probed cell) LUT of the query's RESIDUAL in that
+        # cell — driver-side exact math over the bounded query set,
+        # broadcast to the codes scan; NULL query vectors skipped
+        q_rows = queries.select(id_col, vec_col).collect()
+        lut_rows = []
+        for r in q_rows:
+            if r[1] is None:
+                continue
+            qv = [float(x) for x in r[1]]
+            dists = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+                for i, c in enumerate(cents)
+            )
+            for _, cell in dists[:nprobe]:
+                qr = [a - b for a, b in zip(qv, cents[cell])]
+                lut_rows.append(
+                    {"query_id": int(r[0]), "cell": cell,
+                     "lut": _subspace_lut(qr, books)}
+                )
+        import pandas as pd
+
+        spark = embeddings.sparkSession
+        luts = spark.createDataFrame(
+            pd.DataFrame(lut_rows), "query_id long, cell int, lut array<array<double>>"
+        )
+        pairs = (
+            codes.join(F.broadcast(luts), "cell")
+            .where(F.col(id_col) != F.col("query_id"))
+            .withColumn("adc_dist", F.expr(_ADC_FOLD_EXPR))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+        cand = (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= buffer * k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"))
+        )
+        return _exact_l2_rerank(cand, queries, rows, k, id_col, vec_col)
+    finally:
+        cells.unpersist()
 
 
 def srp_band_buckets(

@@ -2534,14 +2534,20 @@ def q49(spark, sf_dir):
     cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
     voc AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 256),
+    -- integer-scaled ln (micro-nats): ln once per DISTINCT count,
+    -- floor(x*1e6 + 0.5) to BIGINT, so the per-doc reduction is an
+    -- exact integer sum in any order and the final double expression
+    -- matches the engine's op-for-op (see quality.lm_unigram_ce_df)
     scored AS (
       SELECT tok.doc_id, COUNT(*) AS n_tokens,
-             SUM(ln(CAST(coalesce(voc.c, 1) AS DOUBLE))) AS sumln
+             SUM(CAST(floor(ln(CAST(coalesce(voc.c, 1) AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT)) AS sumlpi
       FROM tok LEFT JOIN voc USING (term) GROUP BY tok.doc_id),
     ce AS (
       SELECT doc_id, n_tokens,
-             ROUND(ln(CAST((SELECT n FROM tot) AS DOUBLE))
-                   - sumln / n_tokens, 4) AS ce
+             ROUND((CAST((SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                                 AS BIGINT) FROM tot) AS DOUBLE)
+                    - CAST(sumlpi AS DOUBLE) / n_tokens) / 1000000.0, 4) AS ce
       FROM scored)
     SELECT doc_id, n_tokens, ce,
            CASE NTILE(3) OVER (ORDER BY ce ASC, doc_id ASC)
