@@ -24,6 +24,7 @@ __all__ = [
     "lm_unigram_ce_df", "token_count_cols",
     "fingerprint_col", "BPE_MERGES", "bpe_encode", "bpe_chain_sql",
     "bpe_piece_count_cols", "bpe_stats_udf",
+    "bpe_train_reference", "bpe_train_spark",
 ]
 
 # tiny per-language stopword/marker sets (public common words)
@@ -325,6 +326,129 @@ def bpe_encode(word: str, merges: list[tuple[str, str]] | None = None) -> list[s
                 i += 1
         syms = out
     return syms
+
+
+def bpe_train_reference(
+    word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Reference BPE TRAINER (Sennrich et al. 2016) on a word-count
+    dict: each step picks the adjacent symbol pair with the highest
+    corpus-weighted count (ties → lexicographically smallest pair) and
+    merges every non-overlapping left-to-right occurrence.  The
+    deterministic spec bpe_train_spark must equal."""
+    syms = {w: list(w) for w in word_counts if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            c = word_counts[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def bpe_train_spark(
+    docs,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Distributed BPE vocabulary TRAINING — the standard scale shape:
+    train on the DISTINCT-WORD frequency table, not the corpus.
+
+    One corpus pass builds (word, count); every merge step is then
+    O(distinct words): a pair-count aggregation weighted by word count
+    (map-side combined, top-1 via TakeOrdered — only the winning pair
+    reaches the driver) and a narrow Catalyst fold that rewrites each
+    word's symbol array (non-overlapping, left-to-right).  The symbol
+    table is localCheckpoint-ed per step so the plan never accretes
+    n_merges chained transforms (same lineage-truncation discipline as
+    the CC iteration).  Determinism: integer pair counts with a
+    lexicographic tiebreak — same merges at any partitioning, pinned
+    equal to bpe_train_reference in tests.
+
+    At 100 TB the word table is ~10^7-10^8 rows (Heaps' law) per
+    language — thousands of times smaller than the corpus — and each
+    merge touches only words CONTAINING the pair; the apply side of
+    the learned table is the existing Arrow-batched route (q46)."""
+    from pyspark.sql import functions as FF
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            FF.explode(
+                FF.regexp_extract_all(
+                    FF.lower(FF.coalesce(FF.col(text_col), FF.lit(""))),
+                    FF.lit(r"\w+"), 0,
+                )
+            ).alias("w")
+        )
+        .where(FF.length("w") > 0)
+        .groupBy("w")
+        .agg(FF.count("*").alias("cnt"))
+        .withColumn("syms", FF.expr("filter(split(w, ''), x -> x <> '')"))
+        .select("cnt", "syms")
+    )
+    tbl = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    pair_struct = FF.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> named_struct('a', syms[i], 'b', syms[i + 1]))"
+    )
+    for _ in range(n_merges):
+        top = (
+            tbl.where(FF.size("syms") >= 2)
+            .select("cnt", FF.explode(pair_struct).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(FF.sum("cnt").alias("c"))
+            .orderBy(FF.desc("c"), FF.asc("a"), FF.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # tokens are \w+ chars, but escape defensively anyway
+        qa, qb = a.replace("\\", "\\\\").replace("'", "\\'"), b.replace(
+            "\\", "\\\\"
+        ).replace("'", "\\'")
+        apply_merge = FF.expr(
+            "CASE WHEN size(syms) < 2 THEN syms ELSE "
+            "aggregate(syms, "
+            "named_struct('acc', CAST(array() AS ARRAY<STRING>), "
+            "'pend', CAST(NULL AS STRING)), "
+            "(s, x) -> CASE "
+            "WHEN s.pend IS NULL THEN named_struct('acc', s.acc, 'pend', x) "
+            f"WHEN s.pend = '{qa}' AND x = '{qb}' THEN "
+            "named_struct('acc', concat(s.acc, array(s.pend || x)), "
+            "'pend', CAST(NULL AS STRING)) "
+            "ELSE named_struct('acc', concat(s.acc, array(s.pend)), 'pend', x) END, "
+            "s -> CASE WHEN s.pend IS NULL THEN s.acc "
+            "ELSE concat(s.acc, array(s.pend)) END) END"
+        )
+        nxt = tbl.withColumn("syms", apply_merge).localCheckpoint(eager=True)
+        tbl.unpersist()
+        tbl = nxt
+    tbl.unpersist()
+    return merges
 
 
 def bpe_chain_sql(var: str, backref: str, flags: str = "") -> str:

@@ -818,6 +818,49 @@ def test_pq_adc_recall_compression_and_determinism(spark):
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
 
 
+def test_bpe_train_spark_equals_reference_and_is_partition_invariant(spark):
+    """Distributed BPE vocabulary training must produce EXACTLY the
+    merge table of the sequential reference trainer (same highest-
+    count pair per step, lexicographic tiebreak, non-overlapping
+    left-to-right apply), at any partitioning, and the learned table
+    must feed the existing apply route unchanged."""
+    from collections import Counter
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.quality import (
+        bpe_encode,
+        bpe_train_reference,
+        bpe_train_spark,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest news low",
+        "the newest lowest newer low",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    wc = Counter(
+        w for t in texts for w in __import__("re").findall(r"\w+", t.lower())
+    )
+    ref = bpe_train_reference(dict(wc), n_merges=12)
+    got = bpe_train_spark(docs, "text", n_merges=12)
+    assert got == ref and len(got) == 12
+    # tiebreak determinism + partition invariance
+    got7 = bpe_train_spark(docs.repartition(7), "text", n_merges=12)
+    assert got7 == ref
+    # the learned table drives the existing greedy apply route
+    assert bpe_encode("lowest", got) == bpe_encode("lowest", ref)
+    assert "".join(bpe_encode("lowest", got)) == "lowest"
+    # min_pair_count stops training when no pair repeats enough
+    tiny = spark.createDataFrame(pd.DataFrame({"text": ["ab cd ef"]}))
+    assert bpe_train_spark(tiny, "text", n_merges=5, min_pair_count=2) == []
+    # hand-check the first merges: ('l','o') (low*7 + lower + lowest)
+    # and ('e','w') — which TIES ('n','e') in every new* word and wins
+    # the lexicographic tiebreak
+    first_two = set(ref[:2])
+    assert ("l", "o") in first_two and ("e", "w") in first_two
+
+
 def test_lm_unigram_ce_hand_computed_with_oov(spark):
     """CCNet-style unigram-LM cross-entropy against a hand-worked
     fixture where vocab_size < distinct terms, so the OOV (count→1)
