@@ -45,7 +45,8 @@ HEADLINE = [
     "q34_ivf_ann_topk",
     "q35_embedding_neardup_lsh",
     "q36_lang_id_confusion_routes",
-    "q37_ngram_jaccard_capped",
+    # r6: q37 absorbed q26's exact route (route column) — renamed like q18
+    "q37_ngram_jaccard_routes",
     "q41_image_decode_roundtrip",
     "q42_bpe_token_count_routes",
     "q43_audio_decode_roundtrip",

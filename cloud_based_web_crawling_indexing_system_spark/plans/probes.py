@@ -774,35 +774,9 @@ def q25(spark, sf_dir):
     return bits.select("doc_id", simhash_combine().alias("simhash"))
 
 
-@probe(
-    "q26_ngram_jaccard_pairs",
-    f"""
-    {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
-           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6
-    """,
-)
-def q26(spark, sf_dir):
-    """n-gram Jaccard pairs via shingle equi-join (the standard
-    pairwise route).  100 TB note: a shingle appearing in d docs emits
-    d² join rows, so HOT shingles (boilerplate n-grams) skew the
-    shuffle — production pipelines cap shingle document-frequency
-    first (drop shingles with df > τ; they carry no discriminative
-    signal, standard in MinHash/SimHash dedup literature) or salt the
-    hot keys; AQE skew-join splitting handles the residual.  The
-    probe keeps the uncapped semantics so the DuckDB oracle is exact;
-    q24 (banded MinHash) is the route that avoids the d² blowup
-    entirely."""
-    sh = _shingles_df(spark, sf_dir)
+def _jaccard_pairs_df(sh, threshold: float):
+    """Pairwise n-gram Jaccard over a (doc_id, shingle) stream —
+    shared by the exact and df-capped routes of q37."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -817,7 +791,7 @@ def q26(spark, sf_dir):
     return (
         inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
         .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .where(j >= 0.6)
+        .where(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
 
@@ -1887,37 +1861,60 @@ _Q37_TAU = 4  # shingle document-frequency cap
 
 
 @probe(
-    "q37_ngram_jaccard_capped",
+    "q37_ngram_jaccard_routes",
     f"""
     {_SHINGLE_CTE},
+    e_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    e_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
     hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_Q37_TAU}),
     rare AS (SELECT doc_id, shingle FROM sh
              WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
-    inter AS (
+    c_sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+    c_inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
+    SELECT 'exact' AS route, doc_a, doc_b,
            ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
+    FROM e_inter
+    JOIN e_sizes na ON na.doc_id = doc_a
+    JOIN e_sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6
+    UNION ALL
+    SELECT 'capped' AS route, doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM c_inter
+    JOIN c_sizes na ON na.doc_id = doc_a
+    JOIN c_sizes nb ON nb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
     """,
 )
 def q37(spark, sf_dir):
-    """q26 with the document-frequency cap its own scale note calls
-    for: shingles with df > τ are boilerplate (they carry no
-    discriminative signal — standard in the MinHash/SimHash dedup
-    literature) AND are exactly the keys whose d² join fan-out skews
-    the shuffle, so they are dropped BEFORE the pair join.  The hot
-    set is tiny by definition (heavy hitters), so the drop is a
-    broadcast anti-join — the corpus-side shingle stream is never
-    shuffled for the cap.  Jaccard is then computed over the capped
-    shingle sets (both sides of the oracle agree on that definition).
-    q26 stays as the uncapped exactness baseline."""
+    """Both n-gram Jaccard routes in ONE registry entry (they were
+    q26/q37 until round 6; merged — same sibling-merge move as q18 —
+    to free a registry slot inside the driver's 50-row correctness
+    window for q56):
+
+    - ``exact`` — the standard pairwise shingle equi-join, τ≥0.6.
+      100 TB note: a shingle appearing in d docs emits d² join rows,
+      so this is the exactness baseline, not the scale path (q24's
+      banded MinHash avoids the blowup entirely).
+    - ``capped`` — the document-frequency cap the scale note calls
+      for: shingles with df > τ are boilerplate (no discriminative
+      signal, standard in MinHash/SimHash dedup literature) AND are
+      exactly the keys whose d² fan-out skews the shuffle, so they
+      are dropped BEFORE the pair join via a BROADCAST anti-join (the
+      hot set is tiny by definition; the corpus-side shingle stream
+      is never shuffled for the cap — plan-asserted in
+      tests/test_plans.py).  Jaccard is then over the capped sets,
+      threshold 0.5."""
     sh = _shingles_df(spark, sf_dir)
+    exact = _jaccard_pairs_df(sh, 0.6).select(
+        F.lit("exact").alias("route"), "doc_a", "doc_b", "jaccard"
+    )
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -1925,23 +1922,10 @@ def q37(spark, sf_dir):
         .select("shingle")
     )
     rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+    capped = _jaccard_pairs_df(rare, 0.5).select(
+        F.lit("capped").alias("route"), "doc_a", "doc_b", "jaccard"
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    j = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
-    return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .where(j >= 0.5)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
-    )
+    return exact.unionByName(capped)
 
 
 @probe(
@@ -2591,3 +2575,80 @@ def q55(spark, sf_dir):
         F.when(bucket == 1, "head").when(bucket == 2, "middle")
         .otherwise("tail").alias("bucket"),
     )
+
+
+# =====================================================================
+# q56: BPE vocabulary training through the gate — the iterative merge
+# loop unrolled as CTEs (the same move q53's CC oracle and q50/q52's
+# k-means oracles use for iterative algorithms).  Segmentations are
+# '|'-delimited symbol strings, so applying merge (a,b) is a plain
+# left-to-right non-overlapping string replace of '|a|b|' with '|ab|'
+# — byte-for-byte the reference trainer's list-fold semantics (tokens
+# are \w+, so '|' can never occur inside a symbol).  An early stop
+# (best pair count < MINC) yields an empty merge CTE whose steps
+# vanish from the UNION, matching the engine's shorter table.
+# =====================================================================
+
+_Q56_MERGES = 6
+_Q56_MINC = 2
+
+
+def _q56_oracle_sql(k: int = _Q56_MERGES, minc: int = _Q56_MINC) -> str:
+    sep = "chr(1)"
+    parts = [
+        _TOKS_CTE + ",",
+        "wu AS (SELECT unnest(t) AS w FROM toks),",
+        "wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM wu WHERE length(w) > 0 GROUP BY w),",
+        "seg0 AS MATERIALIZED (SELECT cnt, '|' || array_to_string("
+        "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '|') "
+        "|| '|' AS seg FROM wc),",
+    ]
+    for i in range(1, k + 1):
+        p, m, prev, cur = f"p{i}", f"m{i}", f"seg{i - 1}", f"seg{i}"
+        parts.append(
+            f"{p} AS MATERIALIZED (SELECT string_split(pr, {sep})[1] AS a, "
+            f"string_split(pr, {sep})[2] AS b, SUM(cnt) AS c FROM ("
+            f"SELECT cnt, unnest(list_transform(range(1, greatest(len(sy), 1)), "
+            f"i -> sy[i] || {sep} || sy[i + 1])) AS pr FROM ("
+            f"SELECT cnt, list_filter(string_split(seg, '|'), x -> x <> '') AS sy "
+            f"FROM {prev})) GROUP BY a, b),"
+        )
+        parts.append(
+            f"{m} AS MATERIALIZED (SELECT a, b FROM {p} WHERE c >= {minc} "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1),"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT cnt, CASE WHEN (SELECT a FROM {m}) IS NULL THEN seg "
+            f"ELSE replace(seg, '|' || (SELECT a FROM {m}) || '|' || "
+            f"(SELECT b FROM {m}) || '|', '|' || (SELECT a FROM {m}) || "
+            f"(SELECT b FROM {m}) || '|') END AS seg FROM {prev}),"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, a, b FROM m{i}" for i in range(1, k + 1)
+    )
+    body = "\n".join(parts).rstrip(",")  # _TOKS_CTE opens the WITH list
+    assert body.startswith("WITH ")
+    return body + "\n" + selects + " ORDER BY step"
+
+
+@probe("q56_bpe_train", _q56_oracle_sql())
+def q56(spark, sf_dir):
+    """Distributed BPE vocabulary training through the driver gate:
+    quality.bpe_train_spark learns the merge table on the corpus's
+    distinct-word frequency table (one corpus pass + O(distinct
+    words) per merge — see its docstring for the 100 TB shape), and
+    the probe returns the learned merges as (step, a, b) rows.  The
+    oracle re-trains from scratch in SQL with the loop unrolled
+    (pair-count + lexicographic-tiebreak argmax + boundary-delimited
+    string replace per step), so the gate proves the whole iterative
+    fit merge-for-merge, the same way q53 proves the CC iteration and
+    q50/q52 prove the k-means fits."""
+    from ..functions.quality import bpe_train_spark
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train_spark(d, "text", n_merges=_Q56_MERGES,
+                             min_pair_count=_Q56_MINC)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, a string, b string",
+    ).orderBy("step")

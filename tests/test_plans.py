@@ -55,7 +55,7 @@ def test_q37_df_cap_is_broadcast_anti_join_before_pair_join(spark):
     """The hot-shingle cap must be a BROADCAST anti-join (the hot set
     is tiny by definition) whose df aggregate runs BEFORE the d²-prone
     pair self-join — never a shuffle of the corpus side for the cap."""
-    df = probes.registry()["q37_ngram_jaccard_capped"](spark, SF)
+    df = probes.registry()["q37_ngram_jaccard_routes"](spark, SF)
     df.collect()  # AQE finalizes join strategies on execution
     plan = _plan(df)
     assert "LeftAnti, BuildRight" in plan, plan[:2000]
