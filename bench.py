@@ -40,7 +40,9 @@ HEADLINE = [
     "q24_minhash_lsh_pairs",
     "q25_simhash_signatures",
     "q27_knn_cosine_top5_routes",
-    "q31_blob_stats",
+    # r6: q30 absorbed q31_blob_stats (bench key was q31; the merged
+    # probe's wall = shingle-fingerprint agg + blob projection join)
+    "q30_doc_fingerprint",
     "q33_srp_ann_topk",
     "q34_ivf_ann_topk",
     "q35_embedding_neardup_lsh",
@@ -50,9 +52,9 @@ HEADLINE = [
     "q41_image_decode_roundtrip",
     "q42_bpe_token_count_routes",
     "q43_audio_decode_roundtrip",
-    "q44_video_frame_sample",
-    "q45_mjpeg_frame_sample",
     "q39_token_len_quantiles_routes",
+    # r6: q54 absorbed q44 (raw AVI) and q45 (MJPEG AVI) as container
+    # routes — its wall is now all four containers; q44/q45 keys retired
     "q54_container_frame_sample",
 ]
 

@@ -36,8 +36,11 @@ def test_q03_broadcast_joins(spark):
 
 
 def test_q04_anti_join_shape(spark):
-    plan = _plan(probes.registry()["q04_customers_without_orders"](spark, SF))
+    # merged routes probe: the anti route keeps LeftAnti, the semi
+    # route keeps LeftSemi — folding must not degrade either plan
+    plan = _plan(probes.registry()["q04_customer_order_join_routes"](spark, SF))
     assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
 
 
 def test_q21_semi_search_broadcast(spark):
@@ -144,17 +147,12 @@ def test_q24_single_aggregation_subtree(spark):
 
 def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
     """Scale shapes of the round-4 probes: the codec roundtrips
-    (q41/q43/q44 pre-aggregation stages) are pure narrow Arrow map
+    (q41/q43 pre-aggregation stages) are pure narrow Arrow map
     chains — zero Exchange — and the BPE count (q42) stays entirely
     JVM-side (no Python evaluation node anywhere in its plan)."""
     for name in ("q41_image_decode_roundtrip", "q43_audio_decode_roundtrip"):
         plan = _plan(probes.registry()[name](spark, SF))
         assert "Exchange" not in plan, name  # encode->decode never shuffles
-
-    # q44 aggregates per doc at the end; everything below the single
-    # partial/final agg pair is the narrow mux->demux chain
-    plan = _plan(probes.registry()["q44_video_frame_sample"](spark, SF))
-    assert plan.count("Exchange") <= 1
 
     plan = _plan(probes.q42_chain_route(spark, SF))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
@@ -164,14 +162,15 @@ def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
 def test_r5_sibling_probe_plan_shapes(spark):
     """Round-5 scale siblings keep the shapes their docstrings claim:
 
-    - q45 (MJPEG demux): beyond the one fixture-generation repartition
-      + the final per-doc agg, the mux->demux chain is narrow Arrow
-      stages — no other Exchange;
+    - q54 (four-container video demux, absorbed q44/q45): beyond the
+      one fixture-generation repartition + the final per-(doc,
+      container) agg, the mux->demux chain is narrow Arrow stages —
+      no other Exchange;
     - q46 (production BPE): exactly one Arrow-batched Python stage
       (the merge-loop UDF), no row-at-a-time eval;
     - q47 (approx quantiles): ONE aggregation, NO window, NO
       row_number — the whole point vs q39's exact window route."""
-    plan = _plan(probes.registry()["q45_mjpeg_frame_sample"](spark, SF))
+    plan = _plan(probes.registry()["q54_container_frame_sample"](spark, SF))
     assert plan.count("Exchange") <= 2  # id repartition + final agg
     assert plan.count("MapInPandas") == 2  # encode stage + frame_sample
 
