@@ -2560,3 +2560,310 @@ def q56(spark, sf_dir):
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step int, a string, b string",
     ).orderBy("step")
+
+
+# =====================================================================
+# round-6 webtext-pipeline additions (q57-q60)
+# =====================================================================
+
+from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+# deterministic PII injection, mirrored verbatim in the oracle: the
+# synthetic documents text is letters-only, so the probe plants
+# doc_id-derived emails/IPs/phones (with PII-free rows: id%5==0 and
+# id%4==1 and id%3!=0 and id%7!=2 gets nothing) and then both engines
+# must FIND and REDACT them with their own regex machinery
+_PII_AUG_SQL = """
+      SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % 5 <> 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' admin' || doc_id || '@test.org' ELSE '' END
+        || CASE WHEN doc_id % 4 <> 1
+                THEN ' from 10.' || (doc_id % 200) || '.'
+                     || ((doc_id * 7) % 250) || '.' || (1 + doc_id % 99)
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 2
+                THEN ' call +1202555'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS t
+      FROM documents
+"""
+
+_PII_ORACLE = (
+    "WITH aug AS (" + _PII_AUG_SQL + """)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '"""
+    + EMAIL_RE
+    + """')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '"""
+    + IPV4_RE
+    + """')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '"""
+    + PHONE_RE
+    + """')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '""" + EMAIL_RE + """'))
+              + len(regexp_extract_all(t, '""" + IPV4_RE + """'))
+              + len(regexp_extract_all(t, '""" + PHONE_RE + """'))
+                AS BIGINT) AS n_pii,
+           (len(regexp_extract_all(t, '""" + EMAIL_RE + """'))
+              + len(regexp_extract_all(t, '""" + IPV4_RE + """'))
+              + len(regexp_extract_all(t, '""" + PHONE_RE + """'))) > 0
+             AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '""" + EMAIL_RE + """', '<EMAIL>', 'g'),
+               '""" + IPV4_RE + """', '<IP>', 'g'),
+               '""" + PHONE_RE + """', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """
+)
+
+
+@probe("q57_pii_scrub", _PII_ORACLE)
+def q57(spark, sf_dir):
+    """PII detection + redaction (emails, IPv4, phone numbers) — the
+    scrub every webtext training pipeline runs before tokenization.
+    Pure per-row Catalyst (regexp_extract_all / regexp_replace, zero
+    Python, zero shuffle — the 100 TB shape: the scrub rides the
+    scan).  The probe plants doc_id-derived PII into the letters-only
+    synthetic text, and the hash gate proves BOTH engines' regex
+    machinery finds and redacts the identical spans — patterns are
+    written in the Java-regex/RE2 common subset (functions/pii.py),
+    and tests/test_webtext_ops.py pins byte-identical scrub output on
+    an adversarial boundary corpus."""
+    from ..functions.pii import pii_count_cols, scrub_pii
+
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 5 != 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        )).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" admin"), did.cast("string"), F.lit("@test.org")
+        )).otherwise(F.lit("")),
+        F.when(did % 4 != 1, F.concat(
+            F.lit(" from 10."), (did % 200).cast("string"), F.lit("."),
+            ((did * 7) % 250).cast("string"), F.lit("."),
+            (1 + did % 99).cast("string"),
+        )).otherwise(F.lit("")),
+        F.when(did % 7 == 2, F.concat(
+            F.lit(" call +1202555"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", aug.alias("t"))
+    counts = pii_count_cols(F.col("t"))
+    n_pii = counts["n_emails"] + counts["n_ipv4"] + counts["n_phones"]
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phones"].alias("n_phones"),
+        n_pii.cast("long").alias("n_pii"),
+        (n_pii > 0).alias("has_pii"),
+        F.md5(F.encode(scrub_pii(F.col("t")), "utf-8")).alias("redacted_md5"),
+    )
+
+
+_CHUNK_W = 10  # tokens per block
+
+
+@probe(
+    "q58_chunk_dedup",
+    f"""
+    {_TOKS_CTE},
+    blocks AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                         range(0, CAST((len(t) + {_CHUNK_W - 1}) // {_CHUNK_W} AS INT)),
+                         i -> array_to_string(
+                                t[{_CHUNK_W}*i+1 : {_CHUNK_W}*i+{_CHUNK_W}], ' '))
+             END AS chunks
+      FROM toks),
+    inst AS (SELECT doc_id, md5(unnest(chunks)) AS h FROM blocks),
+    dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                           FROM inst GROUP BY h) WHERE nd >= 2),
+    nd AS (SELECT doc_id, COUNT(*) AS n_dup
+           FROM inst WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.chunks) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+           CAST(CASE WHEN len(b.chunks) = 0 THEN 0
+                ELSE (1000 * COALESCE(nd.n_dup, 0)) // len(b.chunks)
+           END AS BIGINT) AS dup_permille
+    FROM blocks b LEFT JOIN nd ON nd.doc_id = b.doc_id
+    """,
+)
+def q58(spark, sf_dir):
+    """Paragraph-level exact dedup (the RefinedWeb/MassiveText recipe
+    adapted to the newline-free synthetic corpus: a 'paragraph' is a
+    non-overlapping _CHUNK_W-token block).  A chunk is duplicated
+    when its hash appears in >= 2 DISTINCT docs; per doc the probe
+    reports chunk counts and an integer dup-permille ((1000*n_dup)
+    div n_chunks — integer division on both sides, no float parity
+    risk).  Scale shape: explode -> one groupBy on the chunk hash
+    (the only big shuffle, key-partitioned), a semi-join back on the
+    same key (co-partitioned), and a per-doc count; the dup-set and
+    per-doc-count relations are miniature next to the corpus.  This
+    is the operator that feeds q53's star-edge clustering when dedup
+    granularity drops below whole-document."""
+    w = _CHUNK_W
+    d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    nb = F.expr(f"(size(t) + {w - 1}) div {w}")
+    chunks = F.when(
+        F.size("t") > 0,
+        F.expr(
+            f"transform(sequence(0, CAST((size(t) + {w - 1}) div {w} AS INT) - 1),"
+            f" i -> array_join(slice(t, {w}*i+1, {w}), ' '))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    base = d.select("doc_id", chunks.alias("chunks"))
+    inst = base.select(
+        "doc_id",
+        F.explode("chunks").alias("chunk"),
+    ).select("doc_id", F.md5(F.encode("chunk", "utf-8")).alias("h"))
+    dup = (
+        inst.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    nd = (
+        inst.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        base.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
+        .join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.when(F.col("n_chunks") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(1000 * coalesce(n_dup, 0)) div n_chunks"))
+            .alias("dup_permille"),
+        )
+    )
+
+
+_DECON_K = 8  # n-gram length for eval-overlap matching
+_DECON_MOD = 97  # doc_id % _DECON_MOD == 0 -> held-out eval doc
+
+# planted benchmark sentences (exactly _DECON_K tokens each, from a
+# vocabulary disjoint from the corpus words): every eval doc carries
+# all three; train docs carry one (id%13==5) or two adjacent ones
+# (id%13==8, whose straddling n-grams also overlap the eval side).
+# Deterministic and mirrored verbatim in the oracle -- the gate then
+# proves the n-gram extraction + broadcast match machinery on known
+# non-trivial overlaps (the raw synthetic corpus has none that cross
+# the mod-97 eval boundary).
+_BENCH_SENTS = [
+    " ".join(f"q{c}{j}" for c in "abcdefgh") for j in range(3)
+]
+_DECON_AUG_SQL = f"""
+      SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % {_DECON_MOD} = 0
+                THEN ' {_BENCH_SENTS[0]} {_BENCH_SENTS[1]} {_BENCH_SENTS[2]}'
+                WHEN doc_id % 13 = 5 THEN
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN ' {_BENCH_SENTS[0]}'
+                    WHEN 1 THEN ' {_BENCH_SENTS[1]}'
+                    ELSE ' {_BENCH_SENTS[2]}' END
+                WHEN doc_id % 13 = 8
+                THEN ' {_BENCH_SENTS[0]} {_BENCH_SENTS[1]}'
+                ELSE '' END AS text
+      FROM documents
+"""
+
+
+@probe(
+    "q59_decontam",
+    f"""
+    WITH aug AS ({_DECON_AUG_SQL}),
+    toks AS (SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS t
+             FROM aug),
+    ng AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < {_DECON_K} THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(
+                         range(1, len(t) - {_DECON_K} + 2),
+                         i -> array_to_string(t[i : i + {_DECON_K} - 1], ' ')))
+             END AS ngs
+      FROM toks),
+    ev AS (SELECT DISTINCT unnest(ngs) AS g FROM ng
+           WHERE doc_id % {_DECON_MOD} = 0),
+    tr AS (SELECT doc_id, unnest(ngs) AS g FROM ng
+           WHERE doc_id % {_DECON_MOD} <> 0),
+    m AS (SELECT tr.doc_id, COUNT(*) AS n_cont
+          FROM tr JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id)
+    SELECT ng.doc_id,
+           CAST(len(ng.ngs) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(m.n_cont, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(m.n_cont, 0) > 0 AS contaminated
+    FROM ng LEFT JOIN m ON m.doc_id = ng.doc_id
+    WHERE ng.doc_id % {_DECON_MOD} <> 0
+    """,
+)
+def q59(spark, sf_dir):
+    """Training-set decontamination (the GPT-3 appendix-C recipe at
+    n=_DECON_K): train docs whose token n-grams overlap a held-out
+    eval set (doc_id % _DECON_MOD == 0 plays the benchmark) are
+    flagged with the overlapping-distinct-n-gram count.  Overlaps are
+    PLANTED deterministically (_BENCH_SENTS, mirrored in the oracle)
+    because the raw synthetic corpus has none across the eval split.
+    Scale shape: the eval-side distinct n-gram set is always tiny
+    next to the corpus (benchmarks are fixed-size), so it is
+    BROADCAST and the train side is never shuffled for the match --
+    per-doc distinct n-grams come from a per-row array_distinct (no
+    explode-groupBy for the totals), the broadcast inner match
+    shrinks to matched rows only, and only those shuffle for the
+    per-doc count; the final count-attach join is itself
+    broadcast-sized.  The plan test pins the broadcasts."""
+    k, mod = _DECON_K, _DECON_MOD
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % mod == 0,
+               F.lit(" " + " ".join(_BENCH_SENTS)))
+        .when(did % 13 == 5,
+              F.concat(F.lit(" "),
+                       F.element_at(F.array(*[F.lit(s) for s in _BENCH_SENTS]),
+                                    (did % 3).cast("int") + 1)))
+        .when(did % 13 == 8,
+              F.lit(" " + _BENCH_SENTS[0] + " " + _BENCH_SENTS[1]))
+        .otherwise(F.lit("")),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", aug.alias("text"))
+        .withColumn("t", tokens("text"))
+    )
+    ng = d.select(
+        "doc_id", F.array_distinct(shingles("t", k)).alias("ngs")
+    )
+    ev = (
+        ng.where(F.col("doc_id") % mod == 0)
+        .select(F.explode("ngs").alias("g"))
+        .distinct()
+    )
+    tr = ng.where(F.col("doc_id") % mod != 0)
+    m = (
+        tr.select("doc_id", F.explode("ngs").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_cont"))
+    )
+    return (
+        tr.select("doc_id", F.size("ngs").cast("long").alias("n_ngrams"))
+        .join(F.broadcast(m), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_cont"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n_cont"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

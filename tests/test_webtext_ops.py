@@ -1,0 +1,190 @@
+"""Round-6 webtext-pipeline operators: PII scrub (q57), block-level
+exact dedup (q58), eval-set decontamination (q59), host PageRank
+(q60).
+
+The driver gate (tests/test_probes_duckdb.py + scripts/driver_sim.py)
+proves Spark==DuckDB on the sf corpora, and the messy-input suite
+covers NULL text; this file pins the semantics themselves on
+hand-computed fixtures — the complement parity tests can't give
+(shared-kernel blindness: a bug mirrored into both engines passes
+every parity gate)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_based_web_crawling_indexing_system_spark.functions.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    pii_count_cols,
+    scrub_pii,
+)
+from cloud_based_web_crawling_indexing_system_spark.plans import probes
+
+# ---------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------
+
+# (input, expected scrub, n_emails, n_ipv4, n_phones) — boundary cases:
+# leftmost-first match remainders (<PHONE>567), dotted-quad inside a
+# longer quad (<IP>.5), @ without TLD, short +numbers, empty string
+_PII_CASES = [
+    ("contact user3@example.com from 10.2.3.4 call +12025550123",
+     "contact <EMAIL> from <IP> call <PHONE>", 1, 1, 1),
+    ("a@b.co x@y 1.2.3.4567 999.1.1.1 +123 +12345678901234567",
+     "<EMAIL> x@y 1.2.3.4567 <IP> +123 <PHONE>567", 1, 1, 1),
+    ("u.s-er%x+1@mail-host.org end. 10.2.3.4.5 mid+12025550123x",
+     "<EMAIL> end. <IP>.5 mid<PHONE>x", 1, 1, 1),
+    ("", "", 0, 0, 0),
+    ("no pii at all the quick brown fox",
+     "no pii at all the quick brown fox", 0, 0, 0),
+    ("two a@b.com c@d.net and 1.2.3.4 5.6.7.8",
+     "two <EMAIL> <EMAIL> and <IP> <IP>", 2, 2, 0),
+]
+
+
+def test_pii_scrub_expected_and_cross_engine(spark):
+    """Spark output equals the hand-written expectation AND DuckDB's
+    RE2 output byte-for-byte — the regex patterns live in the
+    Java-regex/RE2 common subset by contract."""
+    df = spark.createDataFrame([(i, t) for i, (t, *_) in enumerate(_PII_CASES)],
+                               "i long, t string")
+    counts = pii_count_cols(F.col("t"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", scrub_pii(F.col("t")).alias("s"),
+            counts["n_emails"].alias("e"), counts["n_ipv4"].alias("p4"),
+            counts["n_phones"].alias("ph"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (t, want, ne, ni, np_) in enumerate(_PII_CASES):
+        r = got[i]
+        assert r["s"] == want, f"case {i}: {r['s']!r}"
+        assert (r["e"], r["p4"], r["ph"]) == (ne, ni, np_), f"case {i}"
+        ds, de, di, dp = con.execute(
+            """SELECT regexp_replace(regexp_replace(regexp_replace(?, ?,
+                 '<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g'),
+               len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?))""",
+            [t, EMAIL_RE, IPV4_RE, PHONE_RE, t, EMAIL_RE, t, IPV4_RE, t, PHONE_RE],
+        ).fetchone()
+        assert ds == want and (de, di, dp) == (ne, ni, np_), f"duckdb case {i}"
+
+
+# ---------------------------------------------------------------------
+# fixture corpus for q58/q59 semantics
+# ---------------------------------------------------------------------
+
+
+def _write_docs(d, rows):
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    docs["n_chars"] = docs["text"].fillna("").str.len()
+    pq.write_table(pa.Table.from_pandas(docs), os.path.join(d, "documents.parquet"))
+    return d
+
+
+BLOCK = " ".join(f"w{i}" for i in range(10))  # one exact 10-token block
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chunk_corpus"))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    return _write_docs(d, [
+        # doc 0 and 1 share BLOCK (their first block); doc 2 unique;
+        # doc 3 repeats BLOCK twice but no OTHER doc -> still dup
+        # (cross-doc with 0/1); doc 4 nine tokens (one short block);
+        # doc 5 empty
+        (0, BLOCK + " " + uniq_a, "en", "s0"),
+        (1, BLOCK + " " + uniq_b, "en", "s1"),
+        (2, " ".join(f"c{i}" for i in range(25)), "en", "s2"),
+        (3, BLOCK + " " + BLOCK, "en", "s3"),
+        (4, " ".join(f"d{i}" for i in range(9)), "en", "s4"),
+        (5, "", "en", "s5"),
+    ])
+
+
+def test_chunk_dedup_semantics(spark, chunk_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in probes.registry()["q58_chunk_dedup"](spark, chunk_dir).collect()
+    }
+    # (n_chunks, n_dup_chunks, dup_permille)
+    want = {
+        0: (2, 1, 500),
+        1: (2, 1, 500),
+        2: (3, 0, 0),
+        3: (2, 2, 1000),
+        4: (1, 0, 0),
+        5: (0, 0, 0),
+    }
+    got = {k: (r["n_chunks"], r["n_dup_chunks"], r["dup_permille"])
+           for k, r in rows.items()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def decon_dir(tmp_path_factory):
+    # doc 0 is the eval doc (0 % 97 == 0); the probe PLANTS the
+    # benchmark sentences itself, so the fixture only controls which
+    # ids hit the %13 injection arms:
+    #   id 5  -> one sentence (5 % 3 = 2 -> sent 2): 1 overlap
+    #   id 8  -> sents 0+1 adjacent: 2 + 7 straddles = 9 overlaps
+    #   id 1  -> clean: 0 overlaps
+    d = str(tmp_path_factory.mktemp("decon_corpus"))
+    # per-doc DISTINCT base text — otherwise the eval doc's ordinary
+    # n-grams legitimately contaminate everyone (shared boilerplate is
+    # real contamination to this operator, by design)
+    return _write_docs(d, [
+        (i, " ".join(f"t{i}x{j}" for j in range(12)), "en", "s")
+        for i in (0, 1, 5, 8)
+    ])
+
+
+def test_decontam_semantics(spark, decon_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in probes.registry()["q59_decontam"](spark, decon_dir).collect()
+    }
+    assert sorted(rows) == [1, 5, 8]  # eval doc 0 excluded from output
+    assert rows[1]["n_contaminated"] == 0 and not rows[1]["contaminated"]
+    assert rows[5]["n_contaminated"] == 1 and rows[5]["contaminated"]
+    # sents 0+1 planted adjacently: both 8-gram sentences match, plus
+    # the 7 windows straddling them (eval carries the same adjacency)
+    assert rows[8]["n_contaminated"] == 9 and rows[8]["contaminated"]
+
+
+# ---------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r6_webtext_probe_plan_shapes(spark):
+    """- q57: pure per-row Catalyst — zero Exchange, zero Python;
+    - q59: the eval n-gram set and the per-doc match counts reach the
+      train side as BROADCAST joins (the train corpus is never
+      shuffled on the match key)."""
+    plan = _plan(probes.registry()["q57_pii_scrub"](spark, SF))
+    assert "Exchange" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+    plan = _plan(probes.registry()["q59_decontam"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
