@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star", "star_edges"]
+__all__ = [
+    "connected_components", "connected_components_star", "star_edges",
+    "pagerank_scaled", "pagerank_scaled_reference",
+]
 
 
 def star_edges(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
@@ -191,3 +194,94 @@ def connected_components_star(
     return nodes.join(
         e.select(F.col("h").alias("v"), F.col("l").alias("lbl")), "v", "left"
     ).select("v", F.coalesce(F.col("lbl"), F.col("v")).alias("lbl"))
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(v, rank) after ``iters`` PageRank power iterations with
+    damping 0.85, in ORDER-INDEPENDENT integer arithmetic — the
+    frontier-prioritization signal of a web crawler (rank hosts, pop
+    high-rank hosts first; see operators/crawl.py's priority hook).
+
+    Every quantity is a scaled long: r0(v) = scale; each round every
+    edge (u -> w) contributes ``((r(u) div out_deg(u)) * 85) div
+    100`` and ``r'(w) = (15*scale) div 100 + sum(contribs)``.  Long
+    sums commute, and integer division is defined identically in
+    Spark (`div`) and DuckDB (`//`) on non-negative values, so the
+    result is bit-identical under any partitioning and exactly
+    expressible as unrolled SQL CTEs (the q60 oracle re-runs the
+    whole fit in DuckDB, like q50/q52/q53/q56).  Dangling nodes leak
+    their mass (no redistribution term) — the standard simplification
+    for ranking-only use; the leak is identical in both engines.
+
+    Per round: one shuffle join of ranks to edge sources (+ the
+    static out-degree join on the same key) and one sum-aggregate on
+    the destination — both partition on the node id, so a production
+    run pre-partitions edges once and every round reuses the
+    co-location.  ``localCheckpoint(eager=True)`` per round truncates
+    the 2-references-per-round lineage exactly as in
+    :func:`connected_components`."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.where(F.col("s").isNotNull() & F.col("d").isNotNull())
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (15 * scale) // 100
+    r = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("v", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("v"),
+                F.expr("((rank div deg) * 85) div 100").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("sc"))
+        r = (
+            nodes.join(sums, "v", "left")
+            .select(
+                "v",
+                (F.lit(base) + F.coalesce(F.col("sc"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def pagerank_scaled_reference(
+    edges: list[tuple], iters: int = 4, scale: int = 10**12
+) -> dict:
+    """Sequential twin of :func:`pagerank_scaled` (same integer
+    recurrence, plain dicts) — the pytest oracle for fixtures too
+    irregular for SQL."""
+    deg: dict = {}
+    nodes = set()
+    for s, d in edges:
+        if s is None or d is None:
+            continue
+        deg[s] = deg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    base = (15 * scale) // 100
+    r = {v: scale for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for s, d in edges:
+            if s is None or d is None:
+                continue
+            acc[d] += ((r[s] // deg[s]) * 85) // 100
+        r = {v: base + acc[v] for v in nodes}
+    return r

@@ -2867,3 +2867,82 @@ def q59(spark, sf_dir):
             (F.coalesce(F.col("n_cont"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+_PR_ITERS = 4
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle() -> str:
+    """q60 oracle: the host link graph and EXACTLY _PR_ITERS unrolled
+    integer-scaled power-iteration steps (same pattern as q53/q56:
+    MATERIALIZED per step so DuckDB's CTE inlining can't blow the
+    tree up exponentially)."""
+    scale, base = _PR_SCALE, (15 * _PR_SCALE) // 100
+    parts = [
+        """WITH e AS MATERIALIZED (
+      SELECT d1.source AS s, d2.source AS d
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.source IS NOT NULL AND d2.source IS NOT NULL),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    n AS MATERIALIZED (SELECT DISTINCT v FROM
+      (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),"""
+        + f"\n    r0 AS MATERIALIZED (SELECT v, CAST({scale} AS BIGINT) AS rank FROM n),"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f"""r{i} AS MATERIALIZED (
+      SELECT n.v, CAST({base} + COALESCE(x.sc, 0) AS BIGINT) AS rank
+      FROM n LEFT JOIN (
+        SELECT e.d AS v, SUM(((r{i - 1}.rank // deg.deg) * 85) // 100) AS sc
+        FROM e JOIN r{i - 1} ON r{i - 1}.v = e.s JOIN deg ON deg.s = e.s
+        GROUP BY e.d) x ON x.v = n.v),""")
+    body = "\n    ".join(parts).rstrip(",")
+    return body + f"""
+    SELECT r{_PR_ITERS}.v AS host,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS out_deg,
+           r{_PR_ITERS}.rank AS rank
+    FROM r{_PR_ITERS} LEFT JOIN deg ON deg.s = r{_PR_ITERS}.v
+    """
+
+
+@probe("q60_host_pagerank", _pagerank_oracle())
+def q60(spark, sf_dir):
+    """Host-graph PageRank for frontier prioritization — the classic
+    crawl-scheduling signal (pop high-rank hosts first).  The link
+    graph is data-derived and deterministic: doc i's host cites doc
+    i+1's host (a citation-chain stand-in for extracted cross-host
+    links; the crawl engine itself builds real host graphs from P1
+    link extraction).  The fit is functions/graph.pagerank_scaled:
+    damping 0.85 in ORDER-INDEPENDENT integer arithmetic (scaled
+    longs, per-edge `div`, commutative long sums), so the oracle
+    re-runs the ENTIRE iterative fit as _PR_ITERS unrolled
+    MATERIALIZED CTEs and the hash gate proves it step-for-step —
+    the same iterative-algorithm gating as q53 (CC), q56 (BPE train),
+    q50/q52 (k-means).  Scale shape per round: rank-to-source join +
+    degree join + destination sum, all partitioned on the node id
+    (pre-partition once on a cluster); lineage truncated per round
+    via localCheckpoint."""
+    from ..functions.graph import pagerank_scaled
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d2 = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                  F.col("source").alias("dst_source"))
+    edges = (
+        d.join(d2, "doc_id")
+        .select(F.col("source").alias("src"), F.col("dst_source").alias("dst"))
+    )
+    deg = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").alias("out_deg"))
+    )
+    r = pagerank_scaled(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return (
+        r.withColumnRenamed("v", "host")
+        .join(deg, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            "rank",
+        )
+    )

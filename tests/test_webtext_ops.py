@@ -188,3 +188,35 @@ def test_r6_webtext_probe_plan_shapes(spark):
     plan = _plan(probes.registry()["q59_decontam"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------
+# PageRank (q60's kernel)
+# ---------------------------------------------------------------------
+
+from cloud_based_web_crawling_indexing_system_spark.functions.graph import (  # noqa: E402
+    pagerank_scaled,
+    pagerank_scaled_reference,
+)
+
+# cycle + hub + dangling leaf + multi-edge: every structural case the
+# integer recurrence must handle
+_PR_EDGES = [
+    ("a", "b"), ("b", "a"), ("c", "a"), ("c", "a"), ("c", "d"),
+    ("d", "hub"), ("a", "hub"), ("b", "hub"), ("e", "hub"),
+]
+
+
+def test_pagerank_matches_reference_and_partition_invariant(spark):
+    want = pagerank_scaled_reference(_PR_EDGES, iters=4)
+    df = spark.createDataFrame(_PR_EDGES, "src string, dst string")
+    for nparts in (1, 7):
+        got = {
+            r["v"]: r["rank"]
+            for r in pagerank_scaled(df.repartition(nparts), iters=4).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+    # hub has 4 in-edges and no competition: strictly top-ranked
+    assert max(want, key=want.get) == "hub"
+    # dangling-as-source-only node e holds exactly the base mass
+    assert want["e"] == (15 * 10**12) // 100
