@@ -206,7 +206,11 @@ def pagerank_scaled(
     """(v, rank) after ``iters`` PageRank power iterations with
     damping 0.85, in ORDER-INDEPENDENT integer arithmetic — the
     frontier-prioritization signal of a web crawler (rank hosts, pop
-    high-rank hosts first; see operators/crawl.py's priority hook).
+    high-rank hosts first).  The crawl engine's frontier key is
+    (host_hash, depth, url) with depth as the priority component —
+    reference-parity BFS order (O4); a production scheduler would
+    substitute/augment depth with this rank, which is why the kernel
+    lives here rather than inside the ordering-pinned crawl loop.
 
     Every quantity is a scaled long: r0(v) = scale; each round every
     edge (u -> w) contributes ``((r(u) div out_deg(u)) * 85) div
