@@ -2666,80 +2666,104 @@ def q57(spark, sf_dir):
     )
 
 
-_CHUNK_W = 10  # tokens per block
+_CHUNK_W = 10  # tokens per block / per window
 
 
 @probe(
     "q58_chunk_dedup",
     f"""
     {_TOKS_CTE},
-    blocks AS (
-      SELECT doc_id,
+    ck AS (
+      SELECT doc_id, 'block' AS kind,
              CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE list_transform(
                          range(0, CAST((len(t) + {_CHUNK_W - 1}) // {_CHUNK_W} AS INT)),
                          i -> array_to_string(
                                 t[{_CHUNK_W}*i+1 : {_CHUNK_W}*i+{_CHUNK_W}], ' '))
              END AS chunks
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 'window',
+             CASE WHEN len(t) < {_CHUNK_W} THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                         range(1, len(t) - {_CHUNK_W} + 2),
+                         i -> array_to_string(t[i : i + {_CHUNK_W} - 1], ' '))
+             END
       FROM toks),
-    inst AS (SELECT doc_id, md5(unnest(chunks)) AS h FROM blocks),
-    dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
-                           FROM inst GROUP BY h) WHERE nd >= 2),
-    nd AS (SELECT doc_id, COUNT(*) AS n_dup
-           FROM inst WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
-    SELECT b.doc_id,
-           CAST(len(b.chunks) AS BIGINT) AS n_chunks,
+    inst AS (SELECT doc_id, kind, md5(unnest(chunks)) AS h FROM ck),
+    dup AS (SELECT kind, h FROM (SELECT kind, h, COUNT(DISTINCT doc_id) AS nd
+                                 FROM inst GROUP BY kind, h) WHERE nd >= 2),
+    nd AS (SELECT i.doc_id, i.kind, COUNT(*) AS n_dup
+           FROM inst i JOIN dup ON dup.kind = i.kind AND dup.h = i.h
+           GROUP BY i.doc_id, i.kind)
+    SELECT c.doc_id, c.kind,
+           CAST(len(c.chunks) AS BIGINT) AS n_chunks,
            CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_chunks,
-           CAST(CASE WHEN len(b.chunks) = 0 THEN 0
-                ELSE (1000 * COALESCE(nd.n_dup, 0)) // len(b.chunks)
+           CAST(CASE WHEN len(c.chunks) = 0 THEN 0
+                ELSE (1000 * COALESCE(nd.n_dup, 0)) // len(c.chunks)
            END AS BIGINT) AS dup_permille
-    FROM blocks b LEFT JOIN nd ON nd.doc_id = b.doc_id
+    FROM ck c LEFT JOIN nd ON nd.doc_id = c.doc_id AND nd.kind = c.kind
     """,
 )
 def q58(spark, sf_dir):
-    """Paragraph-level exact dedup (the RefinedWeb/MassiveText recipe
-    adapted to the newline-free synthetic corpus: a 'paragraph' is a
-    non-overlapping _CHUNK_W-token block).  A chunk is duplicated
-    when its hash appears in >= 2 DISTINCT docs; per doc the probe
-    reports chunk counts and an integer dup-permille ((1000*n_dup)
-    div n_chunks — integer division on both sides, no float parity
-    risk).  Scale shape: explode -> one groupBy on the chunk hash
-    (the only big shuffle, key-partitioned), a semi-join back on the
-    same key (co-partitioned), and a per-doc count; the dup-set and
-    per-doc-count relations are miniature next to the corpus.  This
-    is the operator that feeds q53's star-edge clustering when dedup
+    """Sub-document exact dedup through one gate, two granularities:
+
+    - kind='block' — RefinedWeb/MassiveText paragraph dedup adapted to
+      the newline-free synthetic corpus: a 'paragraph' is a
+      non-overlapping _CHUNK_W-token block;
+    - kind='window' — the Lee et al. ("Deduplicating Training Data
+      Makes Language Models Better") EXACT-SUBSTRING criterion at
+      fixed span length: every stride-1 _CHUNK_W-token window, so
+      n_dup_chunks > 0 iff the doc shares a >= _CHUNK_W-token span
+      with another doc (the suffix-array semantic at bounded L,
+      re-expressed as hashed windows — the standard distributed
+      route).
+
+    A chunk/window is duplicated when its hash occurs in >= 2
+    DISTINCT docs; per (doc, kind) the probe reports counts and an
+    integer dup-permille ((1000*n_dup) div n — integer division on
+    both sides, no float parity surface).  Scale shape: explode ->
+    one groupBy on (kind, chunk-hash) (the only corpus-sized
+    shuffle), a co-partitioned semi join back on the same key, and a
+    per-doc count; window mode multiplies instances by ~_CHUNK_W,
+    which is exactly the storage/shuffle trade the suffix-array
+    papers make.  Feeds q53's star-edge clustering when dedup
     granularity drops below whole-document."""
     w = _CHUNK_W
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    nb = F.expr(f"(size(t) + {w - 1}) div {w}")
-    chunks = F.when(
+    blocks = F.when(
         F.size("t") > 0,
         F.expr(
             f"transform(sequence(0, CAST((size(t) + {w - 1}) div {w} AS INT) - 1),"
             f" i -> array_join(slice(t, {w}*i+1, {w}), ' '))"
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-    base = d.select("doc_id", chunks.alias("chunks"))
+    base = d.select(
+        "doc_id", F.lit("block").alias("kind"), blocks.alias("chunks")
+    ).unionByName(
+        d.select("doc_id", F.lit("window").alias("kind"),
+                 shingles("t", w).alias("chunks"))
+    )
     inst = base.select(
-        "doc_id",
-        F.explode("chunks").alias("chunk"),
-    ).select("doc_id", F.md5(F.encode("chunk", "utf-8")).alias("h"))
+        "doc_id", "kind", F.explode("chunks").alias("chunk")
+    ).select("doc_id", "kind", F.md5(F.encode("chunk", "utf-8")).alias("h"))
     dup = (
-        inst.groupBy("h")
+        inst.groupBy("kind", "h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("kind", "h")
     )
     nd = (
-        inst.join(dup, "h", "left_semi")
-        .groupBy("doc_id")
+        inst.join(dup, ["kind", "h"], "left_semi")
+        .groupBy("doc_id", "kind")
         .agg(F.count("*").alias("n_dup"))
     )
     return (
-        base.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
-        .join(nd, "doc_id", "left")
+        base.select("doc_id", "kind", F.size("chunks").cast("long").alias("n_chunks"))
+        .join(nd, ["doc_id", "kind"], "left")
         .select(
             "doc_id",
+            "kind",
             "n_chunks",
             F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
             F.when(F.col("n_chunks") == 0, F.lit(0).cast("long"))

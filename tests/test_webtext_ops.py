@@ -116,17 +116,29 @@ def chunk_dir(tmp_path_factory):
 
 def test_chunk_dedup_semantics(spark, chunk_dir):
     rows = {
-        r["doc_id"]: r
+        (r["doc_id"], r["kind"]): r
         for r in probes.registry()["q58_chunk_dedup"](spark, chunk_dir).collect()
     }
     # (n_chunks, n_dup_chunks, dup_permille)
     want = {
-        0: (2, 1, 500),
-        1: (2, 1, 500),
-        2: (3, 0, 0),
-        3: (2, 2, 1000),
-        4: (1, 0, 0),
-        5: (0, 0, 0),
+        # block route: non-overlapping 10-token paragraphs
+        (0, "block"): (2, 1, 500),
+        (1, "block"): (2, 1, 500),
+        (2, "block"): (3, 0, 0),
+        (3, "block"): (2, 2, 1000),
+        (4, "block"): (1, 0, 0),
+        (5, "block"): (0, 0, 0),
+        # window route: stride-1 10-token spans (exact-substring
+        # criterion).  20-token docs have 11 windows; only the BLOCK
+        # span itself is shared cross-doc — doc 3 (BLOCK twice)
+        # carries 2 duplicated instances (offsets 1 and 11); doc 4 is
+        # 9 tokens, too short for any window
+        (0, "window"): (11, 1, 90),
+        (1, "window"): (11, 1, 90),
+        (2, "window"): (16, 0, 0),
+        (3, "window"): (11, 2, 181),
+        (4, "window"): (0, 0, 0),
+        (5, "window"): (0, 0, 0),
     }
     got = {k: (r["n_chunks"], r["n_dup_chunks"], r["dup_permille"])
            for k, r in rows.items()}
