@@ -30,7 +30,8 @@ HEADLINE = [
     "q02_topk_revenue_orders",
     "q07_top3_orders_per_customer",
     "q11_events_hourly",
-    "q12_sessionize",
+    # r6: q12 absorbed q13's first-event route (same window, one pass)
+    "q12_session_stats",
     # r6: q18 absorbed q19's bigram route (kind column) — renamed so
     # round-over-round tooling never compares the old 1-route walls
     # against the merged 2-route work under the same key

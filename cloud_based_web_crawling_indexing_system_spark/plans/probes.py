@@ -354,10 +354,10 @@ def q11(spark, sf_dir):
 
 
 @probe(
-    "q12_sessionize",
+    "q12_session_stats",
     """
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, event_type,
              -- floor(epoch()) per side: DuckDB's epoch() is fractional
              -- DOUBLE while Spark's unix_timestamp floors to whole
              -- seconds — the 1800s cut must compare the SAME quantity
@@ -365,13 +365,23 @@ def q11(spark, sf_dir):
              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                        - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
+                  THEN 1 ELSE 0 END AS new_session,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
       FROM events)
-    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           MAX(CASE WHEN rn = 1 THEN event_id END) AS first_event_id,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS first_event_type
     FROM g GROUP BY user_id
     """,
 )
 def q12(spark, sf_dir):
+    """Sessionization + first-event-per-user through one gate — was
+    q12_sessionize + q13_first_event_per_user, folded in round 6 to
+    free a registry slot under the driver's hard 50-entry window.
+    Both ride the SAME (user_id, ts, event_id) window, so the merge
+    is one windowed pass + one aggregation instead of two probes'
+    two scans."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return (
@@ -380,30 +390,14 @@ def q12(spark, sf_dir):
             "new_session",
             F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
         )
+        .withColumn("rn", F.row_number().over(w))
         .groupBy("user_id")
         .agg(
             F.sum("new_session").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias("first_event_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_event_type"),
         )
-    )
-
-
-@probe(
-    "q13_first_event_per_user",
-    """
-    SELECT user_id, event_id, event_type FROM (
-      SELECT user_id, event_id, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events) WHERE rn = 1
-    """,
-)
-def q13(spark, sf_dir):
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
     )
 
 
@@ -2969,4 +2963,82 @@ def q60(spark, sf_dir):
             F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
             "rank",
         )
+    )
+
+
+@probe(
+    "q61_warc_roundtrip",
+    """
+    WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n,
+                      octet_length(encode(coalesce(text, ''))) AS ob
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'plain' ELSE 'gzip' END AS kind,
+           CAST(n AS BIGINT) AS n_records,
+           CAST(n AS BIGINT) AS n_parsed,
+           CAST(n * (ob + 2) AS BIGINT) AS total_body_bytes,
+           md5(array_to_string(list_transform(range(0, CAST(n AS INT)),
+                j -> 'http://h' || (doc_id % 7) || '.example/p/'
+                     || doc_id || '/' || j), '|')) AS urls_md5
+    FROM g
+    """,
+)
+def q61(spark, sf_dir):
+    """REAL WARC (ISO 28500) archive roundtrip through the driver
+    gate — the Common-Crawl ingestion format the north-star corpus is
+    shipped in: per doc_id the engine writes a spec-shaped WARC file
+    (warcinfo + 1+id%3 HTTP response records, dual Content-Lengths,
+    CRLF discipline; odd ids wrapped as PER-RECORD GZIP MEMBERS, the
+    .warc.gz convention), then functions/warc.decode_warc walks the
+    records back by declared lengths (refuse-don't-guess on
+    truncation/forged lengths/corrupt members — tests pin each).
+    The oracle recomputes record counts, total HTTP body bytes, and
+    the md5 of the in-order target URIs from the doc_id arithmetic,
+    so the hash match proves the decoder recovered every record's
+    URI, body, and order on BOTH container routes; n_parsed ==
+    n_records proves zero refusals on well-formed input.  Scale
+    shape: two narrow Arrow stages (encode, record walk) + one
+    aggregation — no shuffle below the final per-doc agg, same as
+    q54's media demux."""
+    import pandas as pd
+
+    from ..functions.warc import encode_warc, warc_records
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"warc_id": [], "blob": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = "" if text is None or text is pd.NA else str(text)
+                resp = [
+                    (f"http://h{did % 7}.example/p/{did}/{j}",
+                     f"{t}#{j}".encode())
+                    for j in range(1 + did % 3)
+                ]
+                out["warc_id"].append(did)
+                out["blob"].append(
+                    encode_warc(resp, per_record_gzip=bool(did % 2))
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(enc, schema="warc_id long, blob binary")
+    resp = warc_records(media).where(F.col("rec_type") == "response")
+    return resp.groupBy(F.col("warc_id").alias("doc_id")).agg(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("plain"))
+        .otherwise(F.lit("gzip")).alias("kind"),
+        F.count("*").alias("n_records"),
+        F.sum(F.col("parsed").cast("long")).alias("n_parsed"),
+        F.sum(F.length("body")).cast("long").alias("total_body_bytes"),
+        F.md5(F.encode(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rec_idx", "url"))),
+                lambda s: s["url"],
+            ), "|"), "utf-8")).alias("urls_md5"),
     )

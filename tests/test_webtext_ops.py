@@ -232,3 +232,101 @@ def test_pagerank_matches_reference_and_partition_invariant(spark):
     assert max(want, key=want.get) == "hub"
     # dangling-as-source-only node e holds exactly the base mass
     assert want["e"] == (15 * 10**12) // 100
+
+
+def test_pii_regex_parity_randomized(spark):
+    """Seeded randomized cross-engine sweep: 300 strings built from
+    PII-adjacent fragments (near-miss emails, over-long quads, bare
+    +digit runs, juxtapositions) must produce byte-identical scrub
+    output and identical match counts in Spark's Java regex and
+    DuckDB's RE2 — the strongest practical evidence the patterns sit
+    in the dialects' common subset, beyond the hand-picked corpus."""
+    import random
+
+    rng = random.Random(4242)
+    frags = [
+        "a@b.co", "x@y", "@", "user3@example.com", ".com", "a.b", "..",
+        "1.2.3.4", "10.0.0.256", "999.999.999.999", "1.2.3.4567",
+        "1.2.3", ".1.2.3.4.", "+12025550123", "+123", "+1234567890123456",
+        "plus+", "p+1@q.de", " ", "  ", "word", "W0rd-", "%", "_", "-",
+        "127.0.0.1:80", "a@b@c.org", "@d.net", "e.f@", "0", "5551234",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, t string")
+    counts = pii_count_cols(F.col("t"))
+    srows = {
+        r["i"]: (r["s"], r["e"], r["p4"], r["ph"])
+        for r in df.select(
+            "i", scrub_pii(F.col("t")).alias("s"),
+            counts["n_emails"].alias("e"), counts["n_ipv4"].alias("p4"),
+            counts["n_phones"].alias("ph"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, ?)" for i in range(len(cases)))
+                + ") t(i, t)", cases)
+    drows = {
+        i: (s, e, p4, ph)
+        for i, s, e, p4, ph in con.execute(
+            f"""SELECT i,
+                regexp_replace(regexp_replace(regexp_replace(t,
+                  '{EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{IPV4_RE}', '<IP>', 'g'),
+                  '{PHONE_RE}', '<PHONE>', 'g'),
+                len(regexp_extract_all(t, '{EMAIL_RE}')),
+                len(regexp_extract_all(t, '{IPV4_RE}')),
+                len(regexp_extract_all(t, '{PHONE_RE}'))
+                FROM c""").fetchall()
+    }
+    for i, t in enumerate(cases):
+        assert srows[i] == drows[i], f"case {i}: {t!r}\n spark={srows[i]}\n duck={drows[i]}"
+
+
+# ---------------------------------------------------------------------
+# WARC codec (q61's kernel)
+# ---------------------------------------------------------------------
+
+from cloud_based_web_crawling_indexing_system_spark.functions.warc import (  # noqa: E402
+    decode_warc,
+    encode_warc,
+)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    resp = [("http://a.example/1", b"hello world"),
+            ("http://a.example/2", "uni\xe9 body".encode())]
+    recs = decode_warc(encode_warc(resp, per_record_gzip=gz))
+    assert [r["rec_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert all(r["parsed"] for r in recs)
+    got = [(r["url"], r["http_status"], r["body"]) for r in recs[1:]]
+    assert got == [(u, 200, b) for u, b in resp]
+
+
+def test_warc_refuses_dont_guess():
+    blob = encode_warc([("http://a/1", b"x" * 50)])
+    # truncated mid-record: zero rows, no partial guesses
+    assert decode_warc(blob[:60]) == []
+    # bad version magic: refuse from the top
+    assert decode_warc(blob.replace(b"WARC/1.0", b"WARX/1.0", 1)) == []
+    # forged HTTP Content-Length (first occurrence is the HTTP one —
+    # the WARC-level length is larger): the record walk continues but
+    # THAT record is parsed=False with no body guess
+    recs = decode_warc(blob.replace(b"Content-Length: 50", b"Content-Length: 49", 1))
+    assert [(r["rec_type"], r["parsed"]) for r in recs] == [
+        ("warcinfo", True), ("response", False)]
+    assert recs[1]["body"] is None
+    # corrupt gzip member: refuse the whole blob
+    gzblob = encode_warc([("http://a/1", b"x")], per_record_gzip=True)
+    assert decode_warc(gzblob[:-5] + b"\x00" * 5) == []
+    # payload that EMBEDS a fake record separator + version line must
+    # not split the walk (records advance by declared length only)
+    evil = b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    recs = decode_warc(encode_warc([("http://a/1", evil)]))
+    assert [r["rec_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["body"] == evil
