@@ -240,12 +240,15 @@ def pagerank_scaled(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the degree is static: attach it to the edge set ONCE so the
+    # loop pays one rank join per round, not a rank join + a degree
+    # join (both on the same key, but a join is a join)
+    ed = e.join(deg, "s").localCheckpoint(eager=True)
     base = (15 * scale) // 100
     r = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iters):
         contrib = (
-            e.join(r.withColumnRenamed("v", "s"), "s")
-            .join(deg, "s")
+            ed.join(r.withColumnRenamed("v", "s"), "s")
             .select(
                 F.col("d").alias("v"),
                 F.expr("((rank div deg) * 85) div 100").alias("c"),

@@ -2721,7 +2721,12 @@ def q58(spark, sf_dir):
     shuffle), a co-partitioned semi join back on the same key, and a
     per-doc count; window mode multiplies instances by ~_CHUNK_W,
     which is exactly the storage/shuffle trade the suffix-array
-    papers make.  Feeds q53's star-edge clustering when dedup
+    papers make.  Both granularities come off ONE struct-exploded
+    subtree (a UNION would plan two corpus scans); the remaining
+    scan re-reads in this pure-plan form (the instance relation
+    feeds three consumers) are where a production pipeline
+    materializes the exploded instance table as a stage boundary —
+    the gate needs the plan, not the persistence.  Feeds q53's star-edge clustering when dedup
     granularity drops below whole-document."""
     w = _CHUNK_W
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
@@ -2732,12 +2737,18 @@ def q58(spark, sf_dir):
             f" i -> array_join(slice(t, {w}*i+1, {w}), ' '))"
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    # ONE scan for both granularities: a 2-element struct array
+    # exploded into (kind, chunks) rows — a UNION of two subtrees
+    # would read the corpus twice, which at 100 TB is the whole bill
     base = d.select(
-        "doc_id", F.lit("block").alias("kind"), blocks.alias("chunks")
-    ).unionByName(
-        d.select("doc_id", F.lit("window").alias("kind"),
-                 shingles("t", w).alias("chunks"))
-    )
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit("block").alias("kind"), blocks.alias("chunks")),
+            F.struct(F.lit("window").alias("kind"),
+                     shingles("t", w).alias("chunks")),
+        )).alias("s"),
+    ).select("doc_id", F.col("s.kind").alias("kind"),
+             F.col("s.chunks").alias("chunks"))
     inst = base.select(
         "doc_id", "kind", F.explode("chunks").alias("chunk")
     ).select("doc_id", "kind", F.md5(F.encode("chunk", "utf-8")).alias("h"))
