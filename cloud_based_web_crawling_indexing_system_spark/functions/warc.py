@@ -37,6 +37,7 @@ import zlib
 
 __all__ = [
     "encode_warc", "decode_warc", "warc_records", "WARC_SCHEMA",
+    "write_warc_archive",
 ]
 
 _CRLF = b"\r\n"
@@ -44,6 +45,11 @@ _DATE = "2024-01-01T00:00:00Z"  # fixed: archives are reproducible
 
 
 def _record(rec_type: str, headers: list[tuple[str, str]], block: bytes) -> bytes:
+    for _, v in headers:
+        if "\r" in v or "\n" in v:
+            # a CR/LF inside a header value (e.g. a hostile target
+            # URI) would let payload forge record headers
+            raise ValueError(f"CR/LF in WARC header value: {v!r}")
     out = [b"WARC/1.0", f"WARC-Type: {rec_type}".encode()]
     out += [f"{k}: {v}".encode() for k, v in headers]
     out.append(f"Content-Length: {len(block)}".encode())
@@ -235,3 +241,69 @@ def warc_records(df, id_col: str = "warc_id", blob_col: str = "blob"):
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(walk, schema=WARC_SCHEMA)
+
+
+def write_warc_archive(
+    df,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "html",
+    per_record_gzip: bool = True,
+) -> list[dict]:
+    """The raw-page ARCHIVE SINK (reference S5, upgraded from
+    "the pages table is the archive" to a real exporter): write a
+    (url, body) DataFrame as one ``part-NNNNN.warc.gz`` per Spark
+    partition under ``out_dir``, plus a ``manifest.json`` + _SUCCESS
+    marker.  Returns the manifest rows.
+
+    Executor-side file writes are AT-LEAST-ONCE (task retries re-run
+    the write), so the sink is made idempotent the standard way:
+    rows are sorted by url within the partition (deterministic bytes
+    for a deterministic partitioning), the filename is derived from
+    the partition id alone, and the write goes to a tmp path +
+    os.replace (atomic on POSIX) — a retried task overwrites with
+    identical bytes instead of duplicating records.  The manifest is
+    driver-written from the per-task stat rows (tiny), and _SUCCESS
+    commits the archive only after every task reported."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    gz = per_record_gzip
+
+    def dump(batches):
+        rows, pid = [], None
+        for pdf in batches:
+            for u, b in zip(pdf[url_col], pdf[body_col]):
+                rows.append((str(u), bytes(b) if b is not None else b""))
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows.sort(key=lambda r: r[0])
+        name = f"part-{pid:05d}.warc" + (".gz" if gz else "")
+        blob = encode_warc(rows, per_record_gzip=gz)
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame(
+            [(name, len(rows), len(blob))],
+            columns=["file", "n_records", "n_bytes"],
+        )
+
+    manifest = [
+        r.asDict()
+        for r in df.select(F.col(url_col).alias(url_col),
+                           F.col(body_col).alias(body_col))
+        .mapInPandas(dump, schema="file string, n_records long, n_bytes long")
+        .collect()
+    ]
+    manifest.sort(key=lambda r: r["file"])
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest

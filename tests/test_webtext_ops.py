@@ -330,3 +330,43 @@ def test_warc_refuses_dont_guess():
     recs = decode_warc(encode_warc([("http://a/1", evil)]))
     assert [r["rec_type"] for r in recs] == ["warcinfo", "response"]
     assert recs[1]["body"] == evil
+
+
+def test_warc_archive_sink_roundtrip_and_idempotence(spark, tmp_path):
+    """S5 raw-page archive sink: write a (url, html) corpus as
+    per-partition .warc.gz, read every file back with the real
+    decoder, and require exact (url, body) set equality; a second
+    write (the task-retry scenario) must produce byte-identical
+    files."""
+    import glob
+    import hashlib
+    import json
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.warc import (
+        decode_warc,
+        write_warc_archive,
+    )
+
+    rows = [(f"http://h{i % 5}.example/p/{i}", f"<html>{i}</html>".encode())
+            for i in range(57)]
+    df = spark.createDataFrame(rows, "url string, html binary").repartition(4, "url")
+    out = str(tmp_path / "archive")
+    manifest = write_warc_archive(df, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    files = sorted(glob.glob(os.path.join(out, "part-*.warc.gz")))
+    assert [m["file"] for m in manifest] == [os.path.basename(f) for f in files]
+    got = []
+    for f in files:
+        recs = decode_warc(open(f, "rb").read())
+        assert all(r["parsed"] for r in recs)
+        assert recs[0]["rec_type"] == "warcinfo"
+        got += [(r["url"], r["body"]) for r in recs if r["rec_type"] == "response"]
+    assert sorted(got) == sorted(rows)
+    assert sum(m["n_records"] for m in manifest) == len(rows)
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+
+    md5s = {f: hashlib.md5(open(f, "rb").read()).hexdigest() for f in files}
+    write_warc_archive(df, out)  # retry/rewrite: idempotent bytes
+    for f in files:
+        assert hashlib.md5(open(f, "rb").read()).hexdigest() == md5s[f]
