@@ -201,6 +201,12 @@ def test_r6_webtext_probe_plan_shapes(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
+    # q61: fixture repartition + final per-doc agg are the only
+    # exchanges; encode + record-walk are the two Arrow stages
+    plan = _plan(probes.registry()["q61_warc_roundtrip"](spark, SF))
+    assert plan.count("Exchange") <= 2
+    assert plan.count("MapInPandas") == 2
+
 
 # ---------------------------------------------------------------------
 # PageRank (q60's kernel)
