@@ -57,6 +57,13 @@ HEADLINE = [
     # r6: q54 absorbed q44 (raw AVI) and q45 (MJPEG AVI) as container
     # routes — its wall is now all four containers; q44/q45 keys retired
     "q54_container_frame_sample",
+    # r6 second pass: the new webtext-pipeline operators (new keys —
+    # no prior rounds to compare against)
+    "q57_pii_scrub",
+    "q58_chunk_dedup",
+    "q59_decontam",
+    "q60_host_pagerank",
+    "q61_warc_roundtrip",
 ]
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -150,6 +157,22 @@ def main() -> None:
     # rounds on min-walls normalized by the calibration anchors.
     REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     reg = probes.registry()
+
+    def eval_full(df):
+        # evaluate EVERY column of EVERY row (r6 protocol fix): the
+        # old .count() let Catalyst ELIMINATE count-preserving left
+        # joins and prune aggregate expressions below the count, so
+        # keys whose plan ends in a left join (q30/q58/q59 post-fold)
+        # timed a fraction of their operator — sum(xxhash64(all
+        # columns)) forces full evaluation with no driver transfer.
+        from pyspark.sql import functions as F
+
+        # pmod bounds the terms so the ANSI-mode sum cannot overflow
+        # long (same trick as the calibration anchor)
+        return df.agg(
+            F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1_000_000)))
+        ).collect()
+
     times: dict[str, float] = {}
     first_times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -157,7 +180,7 @@ def main() -> None:
         walls = []
         for _ in range(REPEATS):
             t0 = time.time()
-            reg[name](spark, sf_dir).count()
+            eval_full(reg[name](spark, sf_dir))
             walls.append(round(time.time() - t0, 3))
         first_times[name] = walls[0]
         times[name] = min(walls)
@@ -200,6 +223,10 @@ def main() -> None:
             # `queries` block IS min-of-repeats — round-over-round
             # tooling must never compare it against a first-call block
             "headline": "min",
+            # r6: walls are NOT comparable to r5 and earlier per-key —
+            # the eval changed from .count() (join-eliminable) to
+            # full-column evaluation; see BENCH/PROFILE_r06.md
+            "eval": "sum_xxhash64_all_columns",
             "repeats": REPEATS,
             "queries_sec": "min-of-repeats (steady-state)",
             "queries_first_sec": "first call (plan+codegen compile included)",
@@ -221,7 +248,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "protocol": {"headline": "min", "repeats": REPEATS},
+        "protocol": {"headline": "min", "repeats": REPEATS,
+                     "eval": "sum_xxhash64_all_columns"},
         "sf": full["sf"],
         "crawl": {k: crawl[k] for k in ("sec", "urls_per_sec", "urls_fetched")},
         "calibration": calibration,
