@@ -376,3 +376,64 @@ def test_warc_archive_sink_roundtrip_and_idempotence(spark, tmp_path):
     write_warc_archive(df, out)  # retry/rewrite: idempotent bytes
     for f in files:
         assert hashlib.md5(open(f, "rb").read()).hexdigest() == md5s[f]
+
+
+def test_pagerank_damped_contraction():
+    """No exact integer fixpoint exists on cyclic graphs (the cycle
+    sustains a bounded oscillation that shrinks geometrically with
+    the 0.85 damping), so the convergence contract is CONTRACTION,
+    not equality: the iterate-to-iterate gap at round 60 is both an
+    order of magnitude under the round-20 gap and under 1e-6 of the
+    scale — what a production run relies on when choosing the
+    iteration count."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "a"), ("e", "a")]
+    scale = 10**12
+
+    def gap(k):
+        a = pagerank_scaled_reference(edges, iters=k, scale=scale)
+        b = pagerank_scaled_reference(edges, iters=k + 1, scale=scale)
+        return max(abs(a[v] - b[v]) for v in a), b
+
+    g20, _ = gap(20)
+    g60, r = gap(60)
+    assert g60 < g20 / 10
+    assert g60 < scale // 1_000_000
+    # total mass is bounded by n*scale (damping leaks via dangling
+    # truncation, never grows)
+    assert sum(r.values()) <= len(r) * scale
+
+
+def test_chunk_dup_pairs_feed_cc_clustering(spark, chunk_dir):
+    """End-to-end composition: q58's duplicated-chunk relation ->
+    star edges -> hash-min connected components = the sub-document
+    dedup CLUSTER pipeline.  On the chunk fixture, docs 0/1/3 share
+    BLOCK-derived chunks (one cluster, survivor = min doc_id = 0);
+    docs 2/4/5 stay singletons."""
+    from cloud_based_web_crawling_indexing_system_spark.functions.graph import (
+        connected_components,
+        star_edges,
+    )
+    from cloud_based_web_crawling_indexing_system_spark.functions.text_ops import (
+        tokens,
+    )
+
+    d = (
+        spark.read.parquet(os.path.join(chunk_dir, "documents.parquet"))
+        .withColumn("t", tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, CAST((size(t) + 9) div 10 AS INT) - 1),"
+                " i -> array_join(slice(t, 10*i+1, 10), ' '))"
+            )).alias("chunk"),
+        )
+        .select("doc_id", F.md5(F.encode("chunk", "utf-8")).alias("h"))
+    )
+    edges = star_edges(d, "h", "doc_id")
+    lbl = connected_components(edges, iters=4)
+    got = {r["v"]: r["lbl"] for r in lbl.collect()}
+    assert got[0] == got[1] == got[3] == 0  # the shared-BLOCK cluster
+    # singletons never enter the edge relation (star edges only link
+    # docs that share a chunk) — absent from labels = own cluster
+    assert 2 not in got and 4 not in got and 5 not in got
