@@ -914,11 +914,14 @@ def srp_band_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Banded SRP-LSH: (id, band, bucket) rows, one per band, from ONE
     pass (exploded literal struct array).  Candidates sharing ANY
     band's bucket are near-dup candidates — recall 1-(1-p^k)^b instead
-    of the single-band p^(k·b), the standard LSH amplification."""
+    of the single-band p^(k·b), the standard LSH amplification.
+    ``keep_vec`` carries the vector column through (for consumers that
+    compute within-bucket distances without a join back)."""
     planes = srp_planes(dim, n_bands * planes_per_band)
     entries = []
     for band in range(n_bands):
@@ -929,9 +932,120 @@ def srp_band_buckets(
                 _srp_bucket_col(band_planes, vec_col).alias("bucket"),
             )
         )
+    extra = [vec_col] if keep_vec else []
     return embeddings.select(
-        id_col, F.explode(F.array(*entries)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        id_col, *extra, F.explode(F.array(*entries)).alias("bb")
+    ).select(
+        id_col, *extra,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def srp_banded_neardup_pairs(
+    embeddings: DataFrame,
+    n_bands: int = 3,
+    planes_per_band: int = 3,
+    dim: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All near-dup pairs (a < b by id, cosine > threshold) among
+    vectors sharing ANY band bucket — the vectorized-per-bucket route.
+
+    Semantically identical to the pair-join formulation (bucket
+    self-join -> distinct -> attach vectors -> cosine fold) but
+    computed per (band, bucket) group in ONE numpy pass: at N vectors
+    and B buckets/band the join route materializes ~bands*N²/B
+    candidate rows, shuffles them for the distinct, joins the vector
+    arrays onto every row, and pays an interpreted 64-element
+    ``aggregate`` fold per pair — all of which collapses into a
+    blocked outer-product accumulation inside each bucket.
+
+    IEEE parity with ``cosine_expr``'s fold is exact, not approximate:
+    the JVM computes cast(x AS DOUBLE)*cast(y AS DOUBLE) per element
+    and folds acc+v left-to-right from 0.0, so accumulating
+    ``D += outer(E[:,k], E[:,k])`` for k ascending over float64-
+    widened inputs performs the identical op sequence (float32→float64
+    widening is exact; numpy and the JVM both round each double
+    multiply/add once).  Norms are the k-ascending self-fold, and
+    cos = dot/(sqrt(na²)·sqrt(nb²)) mirrors the expression order.
+    Pairs of different-length vectors produce a NULL fold in the JVM
+    (zip_with pads) and are therefore dropped; here lengths are
+    subgrouped so such pairs are never formed.  Pairs with equal ids
+    never form (strict a<b on the id), and NaN cosines fail the
+    strict > threshold in both engines."""
+    import pandas as pd
+
+    bands = srp_band_buckets(
+        embeddings, n_bands, planes_per_band, dim, id_col, vec_col, keep_vec=True
+    )
+
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+        vecs = pdf[vec_col].tolist()
+        order = np.argsort(ids_all, kind="stable")
+        # subgroup by vector length: cross-length pairs fold to NULL in
+        # the JVM formulation and are dropped there, so never form them
+        by_len: dict[int, list[int]] = {}
+        for pos in order:
+            by_len.setdefault(len(vecs[pos]), []).append(pos)
+        for length, poss in by_len.items():
+            n = len(poss)
+            if n < 2 or length == 0:
+                continue
+            ids = ids_all[poss]
+            E = np.empty((n, length), dtype=np.float64)
+            for r, pos in enumerate(poss):
+                E[r] = np.asarray(vecs[pos], dtype=np.float64)
+            # sequential self-fold for the norms (k ascending)
+            sq = np.zeros(n)
+            for k in range(length):
+                sq += E[:, k] * E[:, k]
+            nr = np.sqrt(sq)
+            blk = 2048
+            for rs in range(0, n, blk):
+                re_ = min(n, rs + blk)
+                for cs in range(0, n, blk):
+                    ce = min(n, cs + blk)
+                    if ids[ce - 1] <= ids[rs]:
+                        # ids sorted ascending: every col id <= every
+                        # row id here, so no strict a<b pair can form
+                        continue
+                    D = np.zeros((re_ - rs, ce - cs))
+                    Er, Ec = E[rs:re_], E[cs:ce]
+                    for k in range(length):
+                        D += np.multiply.outer(Er[:, k], Ec[:, k])
+                    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+                        C = D / np.multiply.outer(nr[rs:re_], nr[cs:ce])
+                        mask = (ids[rs:re_, None] < ids[None, cs:ce]) & (C > thr)
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        out_a.append(ids[rs:re_][ii])
+                        out_b.append(ids[cs:ce][jj])
+                        out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"vec_a": np.array([], dtype=np.int64),
+                                 "vec_b": np.array([], dtype=np.int64),
+                                 "cos": np.array([], dtype=np.float64)})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    pairs = bands.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long, cos double"
+    )
+    # identical pairs surface once per shared band with bit-identical
+    # cos — the distinct is the cross-band dedup the join route did on
+    # the candidate set
+    return pairs.distinct()
 
 
 def ann_topk(

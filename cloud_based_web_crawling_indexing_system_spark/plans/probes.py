@@ -1103,31 +1103,24 @@ def q35(spark, sf_dir):
     amplification), then the exact cosine threshold filters.  This is
     the route a 100 TB dedup pipeline defaults to (q28 stays as the
     exactness baseline; recall vs it asserted in
-    tests/test_pipeline_ops.py)."""
-    from ..functions.simsearch import srp_band_buckets
+    tests/test_pipeline_ops.py).
+
+    r7 optimization (guide §2.3/§4.2): the bucket self-join route
+    materialized ~bands·N²/B candidate rows (75M at sf1.0), shuffled
+    them for the distinct, joined the vector arrays onto every pair
+    and paid three interpreted 64-element ``aggregate`` folds per
+    pair.  srp_banded_neardup_pairs computes the identical pair set
+    per (band, bucket) group with a blocked sequential-k numpy
+    accumulation whose IEEE op sequence matches cosine_expr exactly
+    (equality pinned in tests/test_pipeline_ops.py::
+    test_q35_vectorized_route_matches_join_route)."""
+    from ..functions.simsearch import srp_banded_neardup_pairs
 
     emb = _emb(spark, sf_dir)
-    bands = srp_band_buckets(emb, n_bands=3, planes_per_band=3, dim=64)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    q = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    e = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _cosine_expr("ea", "eb")
     return (
-        cand.join(q, "vec_a")
-        .join(e, "vec_b")
-        .withColumn("cos", cos)
-        .where(F.col("cos") > 0.4)
+        srp_banded_neardup_pairs(
+            emb, n_bands=3, planes_per_band=3, dim=64, threshold=0.4
+        )
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )

@@ -343,6 +343,74 @@ def test_lsh_neardup_recall_vs_exact(spark):
     assert exact and len(lsh) / len(exact) > 0.4
 
 
+def test_q35_vectorized_route_matches_join_route(spark):
+    """r7: q35's per-bucket numpy kernel must be BIT-IDENTICAL (raw
+    doubles, pre-round) to the original bucket-self-join + Catalyst
+    cosine-fold formulation — the optimization changed the execution
+    strategy, not one bit of the result.  Runs on sf0.01 (multi-doc
+    buckets) plus a ragged/duplicate-id fixture that exercises the
+    length-subgroup and strict a<b edges."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from cloud_based_web_crawling_indexing_system_spark.functions.simsearch import (
+        cosine_expr,
+        srp_band_buckets,
+        srp_banded_neardup_pairs,
+    )
+    from cloud_based_web_crawling_indexing_system_spark.plans import probes
+
+    def join_route(emb):
+        bands = srp_band_buckets(emb, n_bands=3, planes_per_band=3, dim=64)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+            .distinct()
+        )
+        q = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        e = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        return (
+            cand.join(q, "vec_a")
+            .join(e, "vec_b")
+            .withColumn("cos", cosine_expr("ea", "eb"))
+            .where(F.col("cos") > 0.4)
+            .select("vec_a", "vec_b", "cos")
+        )
+
+    def bits(df):
+        return sorted(
+            (r["vec_a"], r["vec_b"], _struct.pack("<d", r["cos"])) for r in df.collect()
+        )
+
+    emb = probes._emb(spark, "/root/testdata/sf0.01")
+    assert bits(srp_banded_neardup_pairs(emb, 3, 3, 64, 0.4)) == bits(join_route(emb))
+
+    # ragged lengths + near-identical vectors: cross-length pairs must
+    # drop (NULL fold in the join route), same-length pairs must match
+    rows = []
+    for i in range(40):
+        length = 64 if i % 3 else 32
+        rows.append(
+            (i, [float(((i * 7 + d) % 13) - 6) / 7.0 + (1.0 if d == 0 else 0.0)
+                 for d in range(length)])
+        )
+    ragged = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}),
+        "vec_id long, embedding array<float>",
+    )
+    assert bits(srp_banded_neardup_pairs(ragged, 3, 3, 64, 0.4)) == bits(
+        join_route(ragged)
+    )
+
+
 def test_multimodal_decode_and_frames(spark):
     """The image decode path is REAL: the Spark stage recovers exact
     dims/channels/format from actual PNG/BMP/PGM bytes, and non-image
