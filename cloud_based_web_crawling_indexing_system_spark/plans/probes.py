@@ -2840,11 +2840,18 @@ def q59(spark, sf_dir):
     Scale shape: the eval-side distinct n-gram set is always tiny
     next to the corpus (benchmarks are fixed-size), so it is
     BROADCAST and the train side is never shuffled for the match --
-    per-doc distinct n-grams come from a per-row array_distinct (no
-    explode-groupBy for the totals), the broadcast inner match
-    shrinks to matched rows only, and only those shuffle for the
-    per-doc count; the final count-attach join is itself
-    broadcast-sized.  The plan test pins the broadcasts."""
+    per-doc distinct n-grams come from a per-row array_distinct.
+
+    r7 optimization (guide §2.4): the train side's tokenize+shingle
+    subtree used to feed TWO consumers (the match-count explode and
+    the per-doc n_ngrams projection), so the corpus was tokenized
+    twice and the counts re-attached with a second broadcast join.
+    One explode_outer + broadcast LEFT match + one per-doc aggregate
+    computes both counts in a single pass: count(g) is n_ngrams
+    (explode_outer keeps zero-n-gram docs as a NULL row that count()
+    skips), count(hit) is the contamination count.  Corpus scans
+    3 -> 2 (train once + tiny eval subtree), joins 2 -> 1 — the plan
+    test pins the new shape."""
     k, mod = _DECON_K, _DECON_MOD
     did = F.col("doc_id")
     aug = F.concat(
@@ -2871,22 +2878,24 @@ def q59(spark, sf_dir):
         ng.where(F.col("doc_id") % mod == 0)
         .select(F.explode("ngs").alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    tr = ng.where(F.col("doc_id") % mod != 0)
-    m = (
-        tr.select("doc_id", F.explode("ngs").alias("g"))
-        .join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_cont"))
+    inst = (
+        ng.where(F.col("doc_id") % mod != 0)
+        .select("doc_id", F.explode_outer("ngs").alias("g"))
     )
     return (
-        tr.select("doc_id", F.size("ngs").cast("long").alias("n_ngrams"))
-        .join(F.broadcast(m), "doc_id", "left")
+        inst.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_ng"),
+            F.count("hit").alias("n_cont"),
+        )
         .select(
             "doc_id",
-            "n_ngrams",
-            F.coalesce(F.col("n_cont"), F.lit(0)).cast("long").alias("n_contaminated"),
-            (F.coalesce(F.col("n_cont"), F.lit(0)) > 0).alias("contaminated"),
+            F.col("n_ng").cast("long").alias("n_ngrams"),
+            F.col("n_cont").cast("long").alias("n_contaminated"),
+            (F.col("n_cont") > 0).alias("contaminated"),
         )
     )
 

@@ -197,9 +197,14 @@ def test_r6_webtext_probe_plan_shapes(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
 
+    # r7 single-pass shape: ONE broadcast left match on the exploded
+    # train side + one per-doc aggregate — the train corpus is read
+    # once (2 scans total: train + the tiny eval subtree) and never
+    # shuffled on the match key
     plan = _plan(probes.registry()["q59_decontam"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2
 
     # q61: fixture repartition + final per-doc agg are the only
     # exchanges; encode + record-walk are the two Arrow stages
