@@ -666,11 +666,16 @@ _SHINGLE_CTE = f"""
 
 
 def _shingles_df(spark, sf_dir):
+    # per-doc distinct shingles: array_distinct BEFORE the explode is
+    # the (doc_id, shingle) DISTINCT of the oracle CTE computed
+    # per-row — no corpus-wide Exchange for the dedup (r7, guide §2.4)
     return (
         _t(spark, sf_dir, "documents")
         .withColumn("toks", tokens("text"))
-        .select("doc_id", F.explode(shingles("toks", 3)).alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("toks", 3))).alias("shingle"),
+        )
     )
 
 
@@ -1763,26 +1768,88 @@ def q37(spark, sf_dir):
       for: shingles with df > τ are boilerplate (no discriminative
       signal, standard in MinHash/SimHash dedup literature) AND are
       exactly the keys whose d² fan-out skews the shuffle, so they
-      are dropped BEFORE the pair join via a BROADCAST anti-join (the
-      hot set is tiny by definition; the corpus-side shingle stream
-      is never shuffled for the cap — plan-asserted in
+      are dropped BEFORE the pair join via a BROADCAST hot-set join
+      (the hot set is tiny by definition; the corpus-side shingle
+      stream is never shuffled for the cap — plan-asserted in
       tests/test_plans.py).  Jaccard is then over the capped sets,
-      threshold 0.5."""
+      threshold 0.5.
+
+    r7 optimization (guide §2.4): both routes used to run their own
+    pair self-join + sizes aggregation + two sizes-attach joins (the
+    capped route over an anti-joined copy of the shingle stream) —
+    two d²-shaped pair joins and up to eight replans of the shingle
+    subtree.  Since the capped route's pair/size counts are exactly
+    the rare-shingle restriction of the exact route's, ONE flagged
+    pair join computes both: tag each (doc, shingle) row hot/rare via
+    the broadcast hot set, count (i, i_rare) in one groupBy, attach
+    one sizes table carrying (n, n_rare), and emit both route rows
+    from a 2-element struct explode.  Pair joins 2 -> 1, sizes
+    aggregations 2 -> 1, identical values per route (the capped
+    route's pairs are exactly those with i_rare > 0)."""
     sh = _shingles_df(spark, sf_dir)
-    exact = _jaccard_pairs_df(sh, 0.6).select(
-        F.lit("exact").alias("route"), "doc_a", "doc_b", "jaccard"
+    # document frequency as a WINDOW count over the very Exchange the
+    # pair join needs anyway (hash(shingle)): the cap costs zero extra
+    # shuffles — no separate df aggregation, no broadcast of the hot
+    # set (r7, guide §2.4; the former anti-join route shuffled the
+    # corpus relation once more for the df aggregate)
+    shf = sh.withColumn(
+        "hot",
+        F.when(
+            F.count("*").over(Window.partitionBy("shingle")) > _Q37_TAU, F.lit(1)
+        ),
     )
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _Q37_TAU)
-        .select("shingle")
+    rare_one = F.count(F.when(F.col("hot").isNull(), F.lit(1)))
+    sizes = shf.groupBy("doc_id").agg(
+        F.count("*").alias("n"), rare_one.alias("n_rare")
     )
-    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    capped = _jaccard_pairs_df(rare, 0.5).select(
-        F.lit("capped").alias("route"), "doc_a", "doc_b", "jaccard"
+    a = shf.alias("a")
+    b = shf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("i"),
+            F.count(F.when(F.col("a.hot").isNull(), F.lit(1))).alias("i_rare"),
+        )
     )
-    return exact.unionByName(capped)
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    je = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    # the capped division is guarded: a pair sharing only hot shingles
+    # has i_rare = 0 AND may have a zero rare-size denominator, which
+    # ANSI mode rejects even for doubles; such pairs never existed in
+    # the rare-only pair join, so they are emitted keep=false here
+    jc = F.when(
+        F.col("i_rare") > 0,
+        F.col("i_rare").cast("double")
+        / (F.col("na.n_rare") + F.col("nb.n_rare") - F.col("i_rare")),
+    )
+    routes = F.array(
+        F.struct(
+            F.lit("exact").alias("route"),
+            F.round(je, 6).alias("jaccard"),
+            (je >= 0.6).alias("keep"),
+        ),
+        F.struct(
+            F.lit("capped").alias("route"),
+            F.round(jc, 6).alias("jaccard"),
+            F.coalesce(jc >= 0.5, F.lit(False)).alias("keep"),
+        ),
+    )
+    return (
+        pairs.join(F.broadcast(na), F.col("na.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(nb), F.col("nb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.explode(routes).alias("r"))
+        .where(F.col("r.keep"))
+        .select(
+            F.col("r.route").alias("route"), "doc_a", "doc_b",
+            F.col("r.jaccard").alias("jaccard"),
+        )
+    )
 
 
 @probe(

@@ -54,18 +54,20 @@ def test_q27_topk_window_and_broadcast(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
-def test_q37_df_cap_is_broadcast_anti_join_before_pair_join(spark):
-    """The hot-shingle cap must be a BROADCAST anti-join (the hot set
-    is tiny by definition) whose df aggregate runs BEFORE the d²-prone
-    pair self-join — never a shuffle of the corpus side for the cap."""
+def test_q37_df_cap_is_window_over_pair_join_exchange(spark):
+    """The hot-shingle cap must cost ZERO extra shuffles of the corpus
+    relation: the df count is a WINDOW over hash(shingle) — the very
+    Exchange the pair self-join requires anyway — never a separate df
+    aggregation + anti/broadcast join of a second shingle copy (r7
+    shape; both routes ride ONE flagged pair join)."""
     df = probes.registry()["q37_ngram_jaccard_routes"](spark, SF)
     df.collect()  # AQE finalizes join strategies on execution
     plan = _plan(df)
-    assert "LeftAnti, BuildRight" in plan, plan[:2000]
-    # the df>tau aggregate feeds the broadcast side (HashAggregate
-    # appears below the anti-join's build side in the plan tree)
-    anti_idx = plan.index("LeftAnti")
-    assert "HashAggregate" in plan[anti_idx:], "cap aggregate must feed the anti-join"
+    assert "Window" in plan, plan[:2000]
+    # one pair self-join serves both routes
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    # no broadcast of a hot set, no anti join
+    assert "LeftAnti" not in plan
 
 
 def test_whole_stage_codegen_on_relational_core(spark):
