@@ -2776,18 +2776,19 @@ def q58(spark, sf_dir):
     A chunk/window is duplicated when its hash occurs in >= 2
     DISTINCT docs; per (doc, kind) the probe reports counts and an
     integer dup-permille ((1000*n_dup) div n — integer division on
-    both sides, no float parity surface).  Scale shape: explode ->
-    one groupBy on (kind, chunk-hash) (the only corpus-sized
-    shuffle), a co-partitioned semi join back on the same key, and a
-    per-doc count; window mode multiplies instances by ~_CHUNK_W,
-    which is exactly the storage/shuffle trade the suffix-array
-    papers make.  Both granularities come off ONE struct-exploded
-    subtree (a UNION would plan two corpus scans); the remaining
-    scan re-reads in this pure-plan form (the instance relation
-    feeds three consumers) are where a production pipeline
-    materializes the exploded instance table as a stage boundary —
-    the gate needs the plan, not the persistence.  Feeds q53's star-edge clustering when dedup
-    granularity drops below whole-document."""
+    both sides, no float parity surface).  Scale shape (r7, guide
+    §2.4): explode -> ONE corpus-sized Exchange on hash(kind, h)
+    serving BOTH the per-(h, doc) instance counts (grouping keys are
+    a superset of the partitioning) and the distinct-doc window that
+    marks duplicated hashes — then a small per-(doc, kind) aggregate
+    and a broadcast attach onto the (doc x kind) id frame, whose scan
+    prunes to the doc_id column only.  The former shape tokenized
+    the corpus three times (instance relation feeding a
+    count_distinct groupBy, a semi join back, and a separate
+    n_chunks projection); window mode multiplies instances by
+    ~_CHUNK_W, which is exactly the storage/shuffle trade the
+    suffix-array papers make.  Feeds q53's star-edge clustering when
+    dedup granularity drops below whole-document."""
     w = _CHUNK_W
     d = _t(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     blocks = F.when(
@@ -2811,28 +2812,43 @@ def q58(spark, sf_dir):
              F.col("s.chunks").alias("chunks"))
     inst = base.select(
         "doc_id", "kind", F.explode("chunks").alias("chunk")
-    ).select("doc_id", "kind", F.md5(F.encode("chunk", "utf-8")).alias("h"))
-    dup = (
-        inst.groupBy("kind", "h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("kind", "h")
+    ).select(
+        # unhex halves the shuffled key width (16-byte binary vs the
+        # 32-char hex string) and is injective on hex, so the
+        # duplicate-equality classes are untouched (guide §2.3)
+        "doc_id", "kind", F.unhex(F.md5(F.encode("chunk", "utf-8"))).alias("h")
     )
-    nd = (
-        inst.join(dup, ["kind", "h"], "left_semi")
+    # one Exchange on (kind, h): the per-(h, doc) count groups on a
+    # superset of the partitioning (no second exchange) and the
+    # window's count over (kind, h) rows == count of DISTINCT docs
+    # holding h (g is unique per (kind, h, doc)) — replaces the
+    # count_distinct groupBy + semi-join pair
+    g = (
+        inst.repartition(F.col("kind"), F.col("h"))
+        .groupBy("kind", "h", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    nd_w = F.count("*").over(Window.partitionBy("kind", "h"))
+    per_doc = (
+        g.withColumn("nd", nd_w)
         .groupBy("doc_id", "kind")
-        .agg(F.count("*").alias("n_dup"))
+        .agg(
+            F.sum("c").alias("n_all"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))).alias("n_dup"),
+        )
+    )
+    ids = _t(spark, sf_dir, "documents").select("doc_id").select(
+        "doc_id", F.explode(F.array(F.lit("block"), F.lit("window"))).alias("kind")
     )
     return (
-        base.select("doc_id", "kind", F.size("chunks").cast("long").alias("n_chunks"))
-        .join(nd, ["doc_id", "kind"], "left")
+        ids.join(F.broadcast(per_doc), ["doc_id", "kind"], "left")
         .select(
             "doc_id",
             "kind",
-            "n_chunks",
+            F.coalesce(F.col("n_all"), F.lit(0)).cast("long").alias("n_chunks"),
             F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
-            F.when(F.col("n_chunks") == 0, F.lit(0).cast("long"))
-            .otherwise(F.expr("(1000 * coalesce(n_dup, 0)) div n_chunks"))
+            F.when(F.coalesce(F.col("n_all"), F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(1000 * coalesce(n_dup, 0)) div coalesce(n_all, 0)"))
             .alias("dup_permille"),
         )
     )
