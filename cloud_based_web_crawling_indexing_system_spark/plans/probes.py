@@ -705,34 +705,67 @@ def q24(spark, sf_dir):
     """MinHash (k=8, md5-based) + LSH banding (4 bands x 2 rows):
     candidate near-dup pairs = docs sharing >= 1 band bucket.  The
     shingle->minhash->band->bucket-join pipeline of SURVEY-scale dedup,
-    fully engine-agnostic hashes."""
-    # MIN over duplicates == MIN over distinct: the minhash aggregation
-    # needs no shingle-dedup shuffle (the SQL oracle's DISTINCT in the
-    # shared CTE is a no-op for MIN), so this is groupBy-only
-    sh = (
+    fully engine-agnostic hashes.
+
+    r7 optimization (guide §4.2): the signature aggregation evaluated
+    8 Catalyst md5(concat(...)) expressions per shingle INSTANCE —
+    ~23M JVM digest calls at sf1.0, each paying expression-tree and
+    digest-setup overhead.  The signatures (and the 4 band buckets)
+    now come from ONE Arrow-batched mapInPandas over the per-doc
+    distinct shingle arrays: hashlib.md5 over identical bytes yields
+    identical lowercase hex, MIN over distinct shingles == MIN over
+    all instances, and ASCII-hex string ordering agrees between
+    Python, the JVM and DuckDB, so the band buckets are unchanged.
+    Tokenize/shingle stays JVM-side (the \\w+ regex must keep Java
+    semantics); only (doc_id, shingle-array) crosses the boundary."""
+    import pandas as pd
+
+    shar = (
         _t(spark, sf_dir, "documents")
         .withColumn("toks", tokens("text"))
-        .select("doc_id", F.explode(shingles("toks", 3)).alias("shingle"))
+        # MIN over duplicates == MIN over distinct (the SQL oracle's
+        # DISTINCT in the shared CTE is a no-op for MIN): per-row
+        # array_distinct just trims the hash count
+        .select("doc_id", F.array_distinct(shingles("toks", 3)).alias("shs"))
+        # the scan yields few fat partitions; spread the Python hash
+        # work across the configured parallelism
+        .repartition(F.col("doc_id"))
     )
-    sig = sh.groupBy("doc_id").agg(*minhash_cols("shingle", _MH_K))
-    # one pass over sig: explode a literal (band, bucket) struct array
-    # instead of a 4-way union that would re-plan the shingle->minhash
-    # aggregation subtree per band (the self-join below then reuses ONE
-    # exchange instead of up to 8 aggregate subtrees)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.encode(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")), "utf-8")
-                ).alias("bucket"),
+    n_bands, rows_per_band = 4, 2
+
+    def mh(batches):
+        import hashlib
+
+        pre = [f"{j}|".encode() for j in range(_MH_K)]
+        for pdf in batches:
+            out_id: list = []
+            out_band: list = []
+            out_bucket: list = []
+            for did, shs in zip(pdf["doc_id"], pdf["shs"]):
+                if len(shs) == 0:
+                    continue  # no shingles -> no signature row
+                mins = [None] * _MH_K
+                for s in shs:
+                    sb = s.encode("utf-8")
+                    for j in range(_MH_K):
+                        h = hashlib.md5(pre[j] + sb).hexdigest()
+                        if mins[j] is None or h < mins[j]:
+                            mins[j] = h
+                for b in range(n_bands):
+                    out_id.append(did)
+                    out_band.append(b)
+                    out_bucket.append(
+                        hashlib.md5(
+                            (mins[rows_per_band * b] + mins[rows_per_band * b + 1]).encode("utf-8")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_id, dtype="int64"),
+                 "band": pd.Series(out_band, dtype="int32"),
+                 "bucket": pd.Series(out_bucket, dtype="object")}
             )
-            for b in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+
+    bands = shar.mapInPandas(mh, schema="doc_id long, band int, bucket string")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

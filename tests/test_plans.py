@@ -136,15 +136,17 @@ def test_read_all_is_one_scan_over_n_rounds(spark, tiny_corpus, tmp_path):
 
 
 def test_q24_single_aggregation_subtree(spark):
-    """The LSH band build must be one pass over the minhash signatures
-    (exploded literal band array), not a 4-way union re-planning the
-    shingle->minhash aggregation per band."""
+    """The LSH band build must be one pass over the corpus (one Arrow
+    stage emitting all 4 band rows per doc), not a 4-way union
+    re-planning the shingle->minhash work per band.  r7 shape: the
+    signature+banding is a single MapInPandas over per-doc distinct
+    shingle arrays — the shingle stream is never exploded row-wise."""
     df = probes.registry()["q24_minhash_lsh_pairs"](spark, SF)
     plan = _plan(df)
     assert "Union" not in plan
-    # one partial+final pair per side of the self-join at most; the
-    # old union plan had up to 16 HashAggregates
-    assert plan.count("HashAggregate") <= 6
+    assert plan.count("MapInPandas") <= 2  # a+b sides of the self-join
+    # only the pair-count aggregation remains JVM-side
+    assert plan.count("HashAggregate") <= 4
 
 
 def test_codec_probes_shuffle_free_and_bpe_python_free(spark):
