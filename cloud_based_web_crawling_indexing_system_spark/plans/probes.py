@@ -799,12 +799,66 @@ _SIMHASH_COMBINE = " + ".join(f"(CASE WHEN sh{j} > 0 THEN {1 << j} ELSE 0 END)" 
 )
 def q25(spark, sf_dir):
     """16-bit SimHash per doc from md5-nibble majorities — identical
-    arithmetic in Spark/DuckDB/Python."""
-    terms = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("term")
+    arithmetic in Spark/DuckDB/Python.
+
+    r7 optimization (guide §4.2): the aggregate evaluated one JVM md5
+    plus 16 substring/IN expressions per token INSTANCE (~15M rows at
+    sf1.0).  One Arrow stage now computes the signature per doc from
+    the token array: md5 once per DISTINCT token (memoized per task —
+    the nibble mask is a pure function of the token), counts via
+    Counter, and the 16 majority sums as one small matrix product.
+    bit j of md5 nibble j >= 8 and sum(±count) > 0 are the identical
+    integer tests, so the signatures are unchanged; zero-token docs
+    drop exactly as the explode dropped them."""
+    import pandas as pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .repartition(F.col("doc_id"))
     )
-    bits = terms.groupBy("doc_id").agg(*simhash16("term"))
-    return bits.select("doc_id", simhash_combine().alias("simhash"))
+
+    def sh16(batches):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+
+        mask_of: dict[str, int] = {}  # token -> 16-bit nibble-high mask
+        powers = 1 << np.arange(16, dtype=np.int64)
+
+        def mask(tok: str) -> int:
+            m = mask_of.get(tok)
+            if m is None:
+                dig = hashlib.md5(tok.encode("utf-8")).digest()
+                m = 0
+                for j in range(16):
+                    nib = (dig[j >> 1] >> 4) if (j & 1) == 0 else (dig[j >> 1] & 0xF)
+                    if nib >= 8:
+                        m |= 1 << j
+                mask_of[tok] = m
+            return m
+
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for did, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if len(toks) == 0:
+                    continue  # explode semantics: tokenless docs emit no row
+                cnt = Counter(toks)
+                masks = np.fromiter((mask(t) for t in cnt), dtype=np.int64, count=len(cnt))
+                cs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+                total = int(cs.sum())
+                s_high = (((masks[:, None] >> np.arange(16)) & 1) * cs[:, None]).sum(axis=0)
+                sh = 2 * s_high - total  # sum of ±1 contributions per bit
+                ids.append(did)
+                sigs.append(int(powers[sh > 0].sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "simhash": pd.Series(sigs, dtype="int32")}
+            )
+
+    return d.mapInPandas(sh16, schema="doc_id long, simhash int")
 
 
 def _jaccard_pairs_df(sh, threshold: float):
