@@ -2301,26 +2301,43 @@ def q54(spark, sf_dir):
     ids = _t(spark, sf_dir, "documents").select("doc_id").repartition(par, "doc_id")
 
     def enc(batches):
+        # r7 (guide §4.5): the fixture FRAME key space is tiny — dims
+        # cycle mod 15/24/20 and seeds mod 83/79, so ~50k docs re-raise
+        # the same ~5k distinct (w, h, seed) frames ~28x each.  Pixel
+        # and JPEG encoding are pure functions of that key; memoize
+        # them per task and pay only the per-doc container muxing.
+        pix_memo: dict = {}
+        jpg_memo: dict = {}
+
+        def pix(w, h, seed):
+            key = (w, h, seed)
+            v = pix_memo.get(key)
+            if v is None:
+                v = pix_memo[key] = test_pixels(w, h, 3, seed=seed)
+            return v
+
+        def jpg(w, h, seed):
+            key = (w, h, seed)
+            v = jpg_memo.get(key)
+            if v is None:
+                v = jpg_memo[key] = encode_jpeg(w, h, pix(w, h, seed), 3)
+            return v
+
         for pdf in batches:
             out = {"media_id": [], "kind": [], "blob": [], "mime": [], "meta_json": []}
             for did in pdf["doc_id"]:
                 did = int(did)
                 # q44 fixture: raw RGB24 AVI
                 w, h = 2 + did % 5, 2 + did % 3
-                raw = [test_pixels(w, h, 3, seed=(did + i) % 83)
-                       for i in range(4 + did % 12)]
+                raw = [pix(w, h, (did + i) % 83) for i in range(4 + did % 12)]
                 avi = encode_avi(w, h, raw, fps=10)
                 # q45 fixture: MJPEG AVI
                 w, h = 3 + did % 6, 2 + did % 4
-                jf = [encode_jpeg(w, h, test_pixels(w, h, 3, seed=(did + i) % 83), 3)
-                      for i in range(4 + did % 9)]
+                jf = [jpg(w, h, (did + i) % 83) for i in range(4 + did % 9)]
                 mj = encode_avi(w, h, jf, fps=10, codec="MJPG")
                 # mp4/mkv fixture: the SAME JPEG frames in both
                 w, h = 4 + did % 5, 3 + did % 4
-                frames = [
-                    encode_jpeg(w, h, test_pixels(w, h, 3, seed=(did + i) % 79), 3)
-                    for i in range(3 + did % 8)
-                ]
+                frames = [jpg(w, h, (did + i) % 79) for i in range(3 + did % 8)]
                 for j, (mux, mime) in enumerate((
                     (avi, "video/x-msvideo"),
                     (mj, "video/x-msvideo"),
