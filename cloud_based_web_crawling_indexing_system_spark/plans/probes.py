@@ -1479,11 +1479,33 @@ def q42_chain_route(spark, sf_dir):
     table as chained global-replace Catalyst string expressions —
     whole-stage-codegen'd, no Python; the oracle SQL is GENERATED from
     the same merges list via bpe_chain_sql, so the subword count is a
-    real BPE count, not a regex heuristic."""
-    from ..functions.quality import bpe_piece_count_cols
+    real BPE count, not a regex heuristic.
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", *bpe_piece_count_cols("text")
+    r7 optimization (guide §2.3): the 24-replace regex chain used to
+    run per word INSTANCE (~12M evaluations at sf1.0).  The chain is
+    a pure function of the word, so it now runs once per DISTINCT
+    word and the per-doc totals come from a broadcast piece-count
+    attach + one integer aggregate — same count function, same
+    multiplicities, still zero Python."""
+    from ..functions.quality import bpe_chain_sql
+
+    chain = bpe_chain_sql("w", "$1")
+    cnt = f"size(split({chain}, '[(]')) - 1"
+    words = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+', 0)"
+    inst = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(words)).alias("w")
+    )
+    dw = inst.select("w").distinct().withColumn("p", F.expr(cnt))
+    per_doc = (
+        inst.join(F.broadcast(dw), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nw"), F.sum("p").alias("s"))
+    )
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return ids.join(F.broadcast(per_doc), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nw"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("n_bpe_pieces"),
     )
 
 
