@@ -520,20 +520,30 @@ def q18(spark, sf_dir):
     """Unigram + bigram corpus top-50 in ONE registry entry (the two
     routes were q18/q19 until round 6; merged — same sibling-merge move
     as q27/q38 — to free a registry slot inside the driver's 50-row
-    correctness window for q55)."""
-    d = _t(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    correctness window for q55).
 
-    def top50(col, kind):
+    r7 (guide §2.4): both kinds explode off ONE tokenize pass (a
+    2-element struct array) into one (kind, term) aggregation; each
+    kind's top-50 is a TakeOrdered over the shared aggregate, whose
+    exchange is reused between the two branches."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    both = d.select(
+        F.explode(F.array(
+            F.struct(F.lit("uni").alias("kind"), F.col("toks").alias("terms")),
+            F.struct(F.lit("bi").alias("kind"), bigrams("toks").alias("terms")),
+        )).alias("s")
+    ).select(F.col("s.kind").alias("kind"), F.explode("s.terms").alias("term"))
+    agged = both.groupBy("kind", "term").agg(F.count("*").alias("freq"))
+
+    def top50(kind):
         return (
-            d.select(F.explode(col).alias("term"))
-            .groupBy("term")
-            .agg(F.count("*").alias("freq"))
+            agged.where(F.col("kind") == kind)
             .orderBy(F.desc("freq"), F.asc("term"))
             .limit(50)
             .select(F.lit(kind).alias("kind"), "term", "freq")
         )
 
-    return top50(F.col("toks"), "uni").unionByName(top50(bigrams("toks"), "bi"))
+    return top50("uni").unionByName(top50("bi"))
 
 
 _POSTINGS_CTE = f"""
@@ -574,17 +584,31 @@ def q20(spark, sf_dir):
     """,
 )
 def q21(spark, sf_dir):
-    # §2.8 AND query (J6 broadcast semi-join + A4 + having + O1)
-    p = _postings_df(spark, sf_dir)
-    terms = spark.createDataFrame([("data",), ("vector",), ("window",)], "term string")
+    """§2.8 AND query (A4 + having + O1).  r7 (guide §2.4): the AND
+    of three literal terms needs no postings shuffle at all — the
+    per-doc frequency of each term is a per-row array fold over the
+    token array, the AND is all-three-positive, and the only
+    remaining exchange is the final ORDER BY.  Identical to
+    postings-filter-groupBy because SUM(freq) over the three terms ==
+    the sum of the three per-doc occurrence counts and
+    COUNT(DISTINCT term) = 3 == every count positive.  The per-term
+    count is regexp_count with \\w lookarounds — a token equals the
+    word exactly when the occurrence is not adjacent to another \\w
+    char, the same ASCII \\w class the tokenizer extracts with, and
+    cheaper than materializing the token array per row."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lt", F.lower(F.coalesce(F.col("text"), F.lit("")))
+    )
+    cnts = [
+        F.expr(f"regexp_count(lt, '(?<!\\\\w){w}(?!\\\\w)')").alias(f"c{i}")
+        for i, w in enumerate(("data", "vector", "window"))
+    ]
     return (
-        p.join(F.broadcast(terms), "term")
-        .groupBy("doc_id")
-        .agg(F.sum("freq").alias("frequency"), F.countDistinct("term").alias("m"))
-        .where(F.col("m") == 3)
+        d.select("doc_id", *cnts)
+        .where((F.col("c0") > 0) & (F.col("c1") > 0) & (F.col("c2") > 0))
         .select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-            "frequency",
+            (F.col("c0") + F.col("c1") + F.col("c2")).cast("long").alias("frequency"),
         )
         .orderBy(F.desc("frequency"), F.asc("url"))
     )
