@@ -116,12 +116,21 @@ def q01(spark, sf_dir):
     """,
 )
 def q02(spark, sf_dir):
+    # r7 (guide §3.1): the fact table is never shuffled — the
+    # customer-filtered orders dimension (~1/5 of orders, two join
+    # columns after pruning) broadcasts onto lineitem, and the
+    # revenue aggregate combines map-side (DECIMAL sums are exact, so
+    # grouping order is immaterial).  The former shape sort-merge
+    # joined orders against all 6M lineitem rows first.
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    ob = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(ob), li.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
@@ -1804,15 +1813,17 @@ def q36(spark, sf_dir):
     def ccount(cls: str):
         return F.length(s2) - F.length(F.regexp_replace(s2, cls, ""))
 
-    t4 = "regexp_extract_all(lower(substr(text, 1, 4000)), '\\\\w+', 0)"
-
     def score(lang: str):
         lst = ",".join(
             "'" + w.replace("'", "''") + "'" for w in sorted(_MARKERS[lang])
         )
-        return F.expr(f"size(filter({t4}, x -> x IN ({lst})))")
+        return F.expr(f"size(filter(t4, x -> x IN ({lst})))")
 
-    feats = d.select(
+    # r7: tokenize the 4000-char prefix ONCE into a column — the four
+    # marker scores used to re-run the regexp_extract_all each
+    feats = d.withColumn(
+        "t4", F.expr("regexp_extract_all(lower(substr(text, 1, 4000)), '\\\\w+', 0)")
+    ).select(
         "doc_id",
         "lang",
         "text",
