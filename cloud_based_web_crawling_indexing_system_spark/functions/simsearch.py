@@ -210,15 +210,19 @@ def _lit_vec(vals: list[float]) -> str:
     return "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
 
 
-def _cos_lit(vec_col: str, vals: list[float]) -> Column:
+def _cos_lit(vec_col: str, vals: list[float], norm_col: str | None = None) -> Column:
     """cosine(vec_col, literal centroid) — same sequential-fold dot
     product as cosine_expr; the centroid norm is a Python-side constant
-    (same left-to-right double adds as an engine-side fold)."""
+    (same left-to-right double adds as an engine-side fold).
+    ``norm_col`` may name a precomputed sqrt(dot(v,v)) column — the
+    identical value in the identical expression position, hoisted so
+    an argmax over k centroids folds k+1 times per row, not 2k (r7)."""
     dot = _dot(vec_col, _lit_vec(vals))
     nc = 0.0
     for v in vals:
         nc += float(v) * float(v)
-    return dot / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(F.lit(nc)))
+    nv = F.col(norm_col) if norm_col else F.sqrt(_dot(vec_col, vec_col))
+    return dot / (nv * F.sqrt(F.lit(nc)))
 
 
 def ivf_centroids(
@@ -394,11 +398,13 @@ def _kmeans_fit(
     return cents
 
 
-def _argmax_cos_col(centroids: list[list[float]], vec: str) -> Column:
+def _argmax_cos_col(
+    centroids: list[list[float]], vec: str, norm_col: str | None = None
+) -> Column:
     """argmax-cosine cell id (greatest over (cosine, -cell) structs,
     ties to the lowest cell id) — shared by ivf_assign and the fit."""
     packed = [
-        F.struct(_cos_lit(vec, c).alias("s"), F.lit(-i).alias("nc"))
+        F.struct(_cos_lit(vec, c, norm_col).alias("s"), F.lit(-i).alias("nc"))
         for i, c in enumerate(centroids)
     ]
     best = packed[0] if len(packed) == 1 else F.greatest(*packed)
@@ -463,8 +469,13 @@ def ivf_assign(
 ) -> DataFrame:
     """Adds ``cell`` = argmax-cosine centroid id.  Pure expression
     (greatest over (cosine, -cell) structs): zero shuffle, whole-stage
-    codegen, ties break to the lowest cell id."""
-    return embeddings.withColumn("cell", _argmax_cos_col(centroids, vec_col))
+    codegen, ties break to the lowest cell id.  The row's self-norm is
+    projected once and shared by every centroid branch (r7)."""
+    return (
+        embeddings.withColumn("_nv", F.sqrt(_dot(vec_col, vec_col)))
+        .withColumn("cell", _argmax_cos_col(centroids, vec_col, "_nv"))
+        .drop("_nv")
+    )
 
 
 def ivf_probe_cells(

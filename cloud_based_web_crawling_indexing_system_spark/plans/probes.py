@@ -1002,16 +1002,24 @@ _KNN_ORACLE_BASE = f"""
 def q27_builtin_route(spark, sf_dir):
     """``builtin_fold``: the ANN exactness baseline — broadcast the
     query set, JVM-side sequential fold for the dot products,
-    per-query window top-k."""
-    e = _emb(spark, sf_dir)
+    per-query window top-k.  r7 (guide §2.3): each side's norm is the
+    self-fold computed ONCE per vector instead of per pair — the
+    identical sqrt(dot(a,a))·sqrt(dot(b,b)) product, a third of the
+    fold work on the pair relation."""
+    from ..functions.simsearch import _dot
+
+    e = _emb(spark, sf_dir).withColumn(
+        "ne", F.sqrt(_dot("embedding", "embedding"))
+    )
     q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("ne").alias("nq"),
     )
     pairs = (
-        _emb(spark, sf_dir)
-        .crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", _cosine_expr("qe", "embedding"))
+        .withColumn("cos", _dot("qe", "embedding") / (F.col("nq") * F.col("ne")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
