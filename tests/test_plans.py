@@ -43,9 +43,13 @@ def test_q04_anti_join_shape(spark):
     assert "LeftSemi" in plan
 
 
-def test_q21_semi_search_broadcast(spark):
+def test_q21_and_query_rides_the_scan(spark):
+    # r7 shape: the three-literal-term AND is per-row regexp_count
+    # folds — no postings build, no join, and the only exchange is
+    # the final ORDER BY's
     plan = _plan(probes.registry()["q21_search_and"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_q27_topk_window_and_broadcast(spark):
