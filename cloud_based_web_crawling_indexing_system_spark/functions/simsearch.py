@@ -1016,12 +1016,13 @@ def srp_banded_neardup_pairs(
             E = np.empty((n, length), dtype=np.float64)
             for r, pos in enumerate(poss):
                 E[r] = np.asarray(vecs[pos], dtype=np.float64)
+            ET = np.ascontiguousarray(E.T)  # ET[k] contiguous per dim
             # sequential self-fold for the norms (k ascending)
             sq = np.zeros(n)
             for k in range(length):
-                sq += E[:, k] * E[:, k]
+                sq += ET[k] * ET[k]
             nr = np.sqrt(sq)
-            blk = 2048
+            blk = 1024  # D block stays cache-resident
             for rs in range(0, n, blk):
                 re_ = min(n, rs + blk)
                 for cs in range(0, n, blk):
@@ -1031,9 +1032,10 @@ def srp_banded_neardup_pairs(
                         # row id here, so no strict a<b pair can form
                         continue
                     D = np.zeros((re_ - rs, ce - cs))
-                    Er, Ec = E[rs:re_], E[cs:ce]
+                    tmp = np.empty_like(D)
                     for k in range(length):
-                        D += np.multiply.outer(Er[:, k], Ec[:, k])
+                        np.multiply(ET[k, rs:re_, None], ET[k, None, cs:ce], out=tmp)
+                        D += tmp
                     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
                         C = D / np.multiply.outer(nr[rs:re_], nr[cs:ce])
                         mask = (ids[rs:re_, None] < ids[None, cs:ce]) & (C > thr)
@@ -1050,8 +1052,15 @@ def srp_banded_neardup_pairs(
                              "vec_b": np.concatenate(out_b),
                              "cos": np.concatenate(out_c)})
 
-    pairs = bands.groupBy("band", "bucket").applyInPandas(
-        bucket_pairs, schema="vec_a long, vec_b long, cos double"
+    # pre-spread the ~n_bands*2^planes groups over 3x the configured
+    # shuffle partitions: applyInPandas only needs ClusteredDistribution
+    # on the keys, so this partitioning is reused as-is and hash
+    # collisions (two fat buckets on one task) become unlikely
+    shuffle_p = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        bands.repartition(3 * shuffle_p, "band", "bucket")
+        .groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, schema="vec_a long, vec_b long, cos double")
     )
     # identical pairs surface once per shared band with bit-identical
     # cos — the distinct is the cross-band dedup the join route did on
