@@ -913,6 +913,11 @@ def ivfpq_topk(
             .where(F.col("rk") <= buffer * k)
             .select("query_id", F.col(id_col).alias("neighbor_id"))
         )
+        # materialize the (buffer·k·Q)-row candidate set BEFORE the
+        # finally block unpersists `cells` — otherwise the returned
+        # lazy plan recomputes the argmin + residual subtree from
+        # scratch on first evaluation (advisor r6)
+        cand = cand.localCheckpoint(eager=True)
         return _exact_l2_rerank(cand, queries, rows, k, id_col, vec_col)
     finally:
         cells.unpersist()

@@ -234,6 +234,11 @@ def warc_records(df, id_col: str = "warc_id", blob_col: str = "blob"):
         for pdf in batches:
             rows = []
             for wid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    # refuse-don't-guess, like the other codecs: a NULL
+                    # blob yields no records instead of a task-killing
+                    # TypeError (advisor r6)
+                    continue
                 for rec in decode_warc(bytes(blob)):
                     rows.append((int(wid), rec["rec_idx"], rec["rec_type"],
                                  rec["url"], rec["http_status"], rec["mime"],
@@ -264,7 +269,13 @@ def write_warc_archive(
     os.replace (atomic on POSIX) — a retried task overwrites with
     identical bytes instead of duplicating records.  The manifest is
     driver-written from the per-task stat rows (tiny), and _SUCCESS
-    commits the archive only after every task reported."""
+    commits the archive only after every task reported.
+
+    Deployment note (advisor r6): the executor-side open/os.replace
+    into ``out_dir`` assumes executors share the driver's filesystem —
+    true in local mode and on shared mounts; a cluster deploy over
+    object storage would route through a task-attempt tmp dir plus a
+    driver-side commit instead."""
     import json
     import os
 
@@ -282,7 +293,11 @@ def write_warc_archive(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows.sort(key=lambda r: r[0])
+        # total order: (url, body) — two rows with the same url but
+        # different bodies would otherwise sort nondeterministically
+        # across retries and break the identical-bytes claim
+        # (advisor r6)
+        rows.sort(key=lambda r: (r[0], r[1]))
         name = f"part-{pid:05d}.warc" + (".gz" if gz else "")
         blob = encode_warc(rows, per_record_gzip=gz)
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
