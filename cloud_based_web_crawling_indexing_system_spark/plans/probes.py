@@ -1955,17 +1955,32 @@ def q37(spark, sf_dir):
         F.count("*").alias("n"), rare_one.alias("n_rare")
     )
     a = shf.alias("a")
-    b = shf.alias("b")
+    # b side never reads the hot flag (shingle equality makes it equal
+    # to a's) — keep the 127M-row join output one column narrower
+    b = shf.select("doc_id", "shingle").alias("b")
+    # pack the pair key into ONE long for the 114M-group aggregate:
+    # half the key bytes through the shuffle and one hash input.
+    # Valid because doc_id is the dense non-negative row id of the
+    # documents table (TESTDATA recipe at every sf): doc_b < 2^32 and
+    # doc_a < 2^31, so shiftleft+add is bijective.
+    pk = F.shiftleft(F.col("a.doc_id"), 32) + F.col("b.doc_id")
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(pk.alias("pk"), F.col("a.hot").alias("hot"))
+        .groupBy("pk")
         .agg(
             F.count("*").alias("i"),
-            F.count(F.when(F.col("a.hot").isNull(), F.lit(1))).alias("i_rare"),
+            F.count(F.when(F.col("hot").isNull(), F.lit(1))).alias("i_rare"),
+        )
+        .select(
+            F.shiftright("pk", 32).alias("doc_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+            "i",
+            "i_rare",
         )
     )
     na = sizes.alias("na")
