@@ -3009,22 +3009,25 @@ def q58(spark, sf_dir):
     inst = base.select(
         "doc_id", "kind", F.explode("chunks").alias("chunk")
     ).select(
-        # unhex halves the shuffled key width (16-byte binary vs the
-        # 32-char hex string) and is injective on hex, so the
-        # duplicate-equality classes are untouched (guide §2.3)
-        "doc_id", "kind", F.unhex(F.md5(F.encode("chunk", "utf-8"))).alias("h")
+        # the dup key is INTERNAL (the probe outputs counts, not
+        # hashes), so any equality-preserving key works: two native
+        # codegen hashes (96 combined bits — a class-merging
+        # collision needs both to collide, ~1e-15 over 15M chunks)
+        # replace the per-instance md5 digest calls (guide §2.3/§4.2)
+        "doc_id", "kind",
+        F.xxhash64("chunk").alias("h1"), F.hash("chunk").alias("h2"),
     )
-    # one Exchange on (kind, h): the per-(h, doc) count groups on a
-    # superset of the partitioning (no second exchange) and the
-    # window's count over (kind, h) rows == count of DISTINCT docs
-    # holding h (g is unique per (kind, h, doc)) — replaces the
-    # count_distinct groupBy + semi-join pair
+    # one Exchange on (kind, h1, h2): the per-(h, doc) count groups on
+    # a superset of the partitioning (no second exchange) and the
+    # window's count over (kind, h1, h2) rows == count of DISTINCT
+    # docs holding the chunk (g is unique per (kind, h, doc)) —
+    # replaces the count_distinct groupBy + semi-join pair
     g = (
-        inst.repartition(F.col("kind"), F.col("h"))
-        .groupBy("kind", "h", "doc_id")
+        inst.repartition(F.col("kind"), F.col("h1"), F.col("h2"))
+        .groupBy("kind", "h1", "h2", "doc_id")
         .agg(F.count("*").alias("c"))
     )
-    nd_w = F.count("*").over(Window.partitionBy("kind", "h"))
+    nd_w = F.count("*").over(Window.partitionBy("kind", "h1", "h2"))
     per_doc = (
         g.withColumn("nd", nd_w)
         .groupBy("doc_id", "kind")
