@@ -1358,16 +1358,46 @@ def q30(spark, sf_dir):
     engine parity) PLUS opaque-blob stats — was two probes (q30 +
     q31_blob_stats), folded in round 6 to free a registry slot under
     the driver's hard 50-entry correctness window.  Shape: one
-    shingle aggregation shuffled on doc_id, joined back to the
-    per-row blob projection on the same key (co-partitioned; AQE may
-    broadcast the agg side).  Docs too short to shingle (<3 tokens)
-    keep their blob row with fingerprint NULL / n_shingles 0."""
+    shingle aggregation joined back to the per-row blob projection.
+    Docs too short to shingle (<3 tokens) keep their blob row with
+    fingerprint NULL / n_shingles 0.
+
+    r7 (guide §4.2): the min-of-md5 fingerprint is computed in ONE
+    Arrow stage over the per-doc distinct shingle arrays (hashlib
+    md5 == JVM md5 on identical bytes; ASCII-hex min ordering agrees
+    across engines) instead of exploding 2.6M rows through a JVM
+    digest expression + groupBy; the 50k-row result broadcasts back
+    onto the blob projection, so the documents side never shuffles."""
+    import pandas as pd
+
     d = _t(spark, sf_dir, "documents")
-    fp = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
-        F.min(F.md5(F.encode(F.col("shingle"), "utf-8"))).alias("fingerprint"),
-        F.count("*").alias("n_shingles"),
+    shar = (
+        d.withColumn("toks", tokens("text"))
+        .select("doc_id", F.array_distinct(shingles("toks", 3)).alias("shs"))
+        .repartition(F.col("doc_id"))
     )
-    return d.join(fp, "doc_id", "left").select(
+
+    def fp_gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            ns: list = []
+            for did, shs in zip(pdf["doc_id"], pdf["shs"]):
+                if len(shs) == 0:
+                    continue  # left join restores the row with NULL/0
+                ids.append(did)
+                fps.append(min(hashlib.md5(s.encode("utf-8")).hexdigest() for s in shs))
+                ns.append(len(shs))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "fingerprint": pd.Series(fps, dtype="object"),
+                 "n_shingles": pd.Series(ns, dtype="int64")}
+            )
+
+    fp = shar.mapInPandas(fp_gen, schema="doc_id long, fingerprint string, n_shingles long")
+    return d.join(F.broadcast(fp), "doc_id", "left").select(
         "doc_id",
         "fingerprint",
         F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
