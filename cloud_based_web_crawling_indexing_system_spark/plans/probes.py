@@ -3183,6 +3183,10 @@ def q59(spark, sf_dir):
         .select("doc_id", aug.alias("text"))
         .withColumn("t", tokens("text"))
     )
+    # (r7 note: a slice-hash variant — struct(xxhash64, hash) per
+    # token slice instead of the joined string — measured SLOWER
+    # (9.5s vs 5.0s at sf1.0): array_distinct over struct elements
+    # falls off the fast hashset path.  String n-grams kept.)
     ng = d.select(
         "doc_id", F.array_distinct(shingles("t", k)).alias("ngs")
     )
