@@ -3187,31 +3187,54 @@ def q59(spark, sf_dir):
     # token slice instead of the joined string — measured SLOWER
     # (9.5s vs 5.0s at sf1.0): array_distinct over struct elements
     # falls off the fast hashset path.  String n-grams kept.)
-    ng = d.select(
-        "doc_id", F.array_distinct(shingles("t", k)).alias("ngs")
-    )
-    ev = (
-        ng.where(F.col("doc_id") % mod == 0)
-        .select(F.explode("ngs").alias("g"))
+    #
+    # r7 second pass (guide §8 "decide with small rows"): the eval
+    # n-gram set is benchmark-sized — FIXED as the corpus grows (the
+    # scale argument above) — so it is collected once (a job over the
+    # 1/mod eval slice only; the filter pushes to the scan) and
+    # broadcast as a Python set.  The train side then needs ONE
+    # zero-shuffle Arrow stage: per doc, build the distinct n-gram
+    # set (identical ' '-joined strings) and intersect — no explode,
+    # no join, no corpus-sized aggregate at all.
+    import pandas as pd
+
+    ev_rows = (
+        d.where(F.col("doc_id") % mod == 0)
+        .select(F.explode(F.array_distinct(shingles("t", k))).alias("g"))
         .distinct()
-        .withColumn("hit", F.lit(1))
+        .collect()
     )
-    inst = (
-        ng.where(F.col("doc_id") % mod != 0)
-        .select("doc_id", F.explode_outer("ngs").alias("g"))
-    )
+    ev_bc = spark.sparkContext.broadcast({r["g"] for r in ev_rows})
+
+    tr = d.where(F.col("doc_id") % mod != 0).select("doc_id", "t")
+
+    def decon(batches):
+        ev = ev_bc.value
+        for pdf in batches:
+            ids: list = []
+            n_ng: list = []
+            n_cont: list = []
+            for did, toks in zip(pdf["doc_id"], pdf["t"]):
+                toks = list(toks)
+                if len(toks) < k:
+                    grams: set = set()
+                else:
+                    grams = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+                ids.append(did)
+                n_ng.append(len(grams))
+                n_cont.append(len(grams & ev) if grams else 0)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n_ngrams": pd.Series(n_ng, dtype="int64"),
+                 "n_contaminated": pd.Series(n_cont, dtype="int64")}
+            )
+
     return (
-        inst.join(F.broadcast(ev), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("g").alias("n_ng"),
-            F.count("hit").alias("n_cont"),
-        )
+        tr.repartition(F.col("doc_id"))
+        .mapInPandas(decon, schema="doc_id long, n_ngrams long, n_contaminated long")
         .select(
-            "doc_id",
-            F.col("n_ng").cast("long").alias("n_ngrams"),
-            F.col("n_cont").cast("long").alias("n_contaminated"),
-            (F.col("n_cont") > 0).alias("contaminated"),
+            "doc_id", "n_ngrams", "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("contaminated"),
         )
     )
 

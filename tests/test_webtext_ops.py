@@ -197,14 +197,15 @@ def test_r6_webtext_probe_plan_shapes(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
 
-    # r7 single-pass shape: ONE broadcast left match on the exploded
-    # train side + one per-doc aggregate — the train corpus is read
-    # once (2 scans total: train + the tiny eval subtree) and never
-    # shuffled on the match key
+    # r7 final shape: the benchmark-sized eval n-gram set is collected
+    # once (a job over the 1/97 eval slice) and broadcast as a Python
+    # set; the returned train-side plan is ONE scan + ONE Arrow stage
+    # — zero joins, zero corpus-sized aggregates, the only exchange
+    # is the doc_id spread for the Python workers
     plan = _plan(probes.registry()["q59_decontam"](spark, SF))
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("MapInPandas") == 1
 
     # q61: fixture repartition + final per-doc agg are the only
     # exchanges; encode + record-walk are the two Arrow stages
