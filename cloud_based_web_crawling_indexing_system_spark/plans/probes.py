@@ -769,7 +769,13 @@ def q24(spark, sf_dir):
     def mh(batches):
         import hashlib
 
-        pre = [f"{j}|".encode() for j in range(_MH_K)]
+        # seed digests pre-initialized with the 'j|' prefix: per
+        # shingle it's copy+update, no bytes concat.  Mins are
+        # tracked on RAW digest bytes — hex encoding is byte-order-
+        # preserving ('0'<'9'<'a'<'f'), so min(bytes) == the digest
+        # whose hexdigest is min(hex) — and only the 8 winners per
+        # doc are hex-encoded.
+        seeds = [hashlib.md5(f"{j}|".encode()) for j in range(_MH_K)]
         for pdf in batches:
             out_id: list = []
             out_band: list = []
@@ -777,19 +783,22 @@ def q24(spark, sf_dir):
             for did, shs in zip(pdf["doc_id"], pdf["shs"]):
                 if len(shs) == 0:
                     continue  # no shingles -> no signature row
-                mins = [None] * _MH_K
+                mins: list = [None] * _MH_K
                 for s in shs:
                     sb = s.encode("utf-8")
                     for j in range(_MH_K):
-                        h = hashlib.md5(pre[j] + sb).hexdigest()
-                        if mins[j] is None or h < mins[j]:
-                            mins[j] = h
+                        h = seeds[j].copy()
+                        h.update(sb)
+                        dg = h.digest()
+                        if mins[j] is None or dg < mins[j]:
+                            mins[j] = dg
+                hexes = [m.hex() for m in mins]
                 for b in range(n_bands):
                     out_id.append(did)
                     out_band.append(b)
                     out_bucket.append(
                         hashlib.md5(
-                            (mins[rows_per_band * b] + mins[rows_per_band * b + 1]).encode("utf-8")
+                            (hexes[rows_per_band * b] + hexes[rows_per_band * b + 1]).encode("utf-8")
                         ).hexdigest()
                     )
             yield pd.DataFrame(
